@@ -1,0 +1,461 @@
+"""Vectorized single-node cuckoo filter (the per-partition kernel).
+
+A from-scratch numpy implementation of a partial-key cuckoo filter
+(Fan et al., "Cuckoo Filter: Practically Better Than Bloom", 2014)
+with batch insert / contains / delete and a bucket-wise merge — the
+same capability surface as the reference GPU kernels:
+
+* batch insert w/ eviction chains — ``CuckooFilter.cuh:457-464,
+  859-954,1029-1141`` (insertMany / tryInsertAtBucket /
+  insertWithEvictionDFS / insert kernel)
+* batch contains — ``CuckooFilter.cuh:518-523,1088-1098,1143-1155``
+* batch delete (multiset semantics) — ``CuckooFilter.cuh:536-548,
+  805-848,1106-1116,1157-1183``
+* XOR alt-bucket policy (fp from upper hash bits, i1 from lower,
+  i2 = i1 ^ (h(fp) & mask)) — ``bucket_policies.cuh:14-84``
+* merge (union of same-geometry filters by re-inserting every
+  stored fingerprint at its bucket or alt bucket) — generalizes the
+  reference's disjoint multi-GPU union
+  (``CuckooFilterMultiGPU.cuh:335-363,558-565``) into an
+  associative-for-membership combine usable in tree reduction.
+
+Design differences from the reference, deliberate and Spark-first:
+
+* One writer per filter (a Spark partition), so the word-packed
+  SWAR + CAS machinery (``CuckooFilter.cuh:224-346``,
+  ``helpers.cuh:78-151``) is replaced by numpy array ops — numpy's
+  vectorization over an (n, bucket_size) gather IS our SWAR.
+* Buckets keep a "prefix-filled" invariant (occupied slots first,
+  holes compacted on delete). Membership semantics only depend on
+  the multiset of tags per bucket, so this is observationally
+  identical to the reference's tag-dependent slot placement while
+  making the batch-insert fully vectorizable.
+* Metrics (inserts, kicks, failures) are always on — they feed the
+  per-partition lineage the checkpoint layer records (the reference
+  gates this behind ``CUCKOO_FILTER_COUNT_EVICTIONS``,
+  ``CuckooFilter.cuh:706-726``).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+from cuckoo_filter_spark.config import EMPTY, FINGERPRINT_SEED, CuckooConfig
+from cuckoo_filter_spark.hashing import xxhash64_u64
+
+_MAGIC = b"CKFS"
+_HEADER = struct.Struct("<4sBBHIQQQQQ")  # magic,f,ver,b,num_buckets,cap,occ,kicks,fail,inserts
+
+
+class CuckooFilter:
+    """A deletable, mergeable membership sketch over uint64 keys."""
+
+    __slots__ = (
+        "config", "capacity", "num_buckets", "_mask",
+        "buckets", "fill", "occupied", "kicks", "failures", "inserts",
+    )
+
+    def __init__(self, capacity: int, config: CuckooConfig | None = None):
+        self.config = config or CuckooConfig()
+        self.capacity = int(capacity)
+        self.num_buckets = self.config.num_buckets_for(capacity)
+        self._mask = np.uint64(self.num_buckets - 1)
+        self.buckets = np.zeros(
+            (self.num_buckets, self.config.bucket_size), dtype=self.config.tag_dtype
+        )
+        self.fill = np.zeros(self.num_buckets, dtype=np.int64)
+        self.occupied = 0   # occupancy counter (CuckooFilter.cuh:349-357)
+        self.kicks = 0      # eviction count metric
+        self.failures = 0   # inserts dropped after max_kicks
+        self.inserts = 0    # attempted inserts
+
+    # ------------------------------------------------------------------
+    # addressing (XorAltBucketPolicy, bucket_policies.cuh:14-84)
+    # ------------------------------------------------------------------
+
+    def _fp_hash(self, fp: np.ndarray) -> np.ndarray:
+        """h(fp) used for the alternate-bucket XOR displacement."""
+        return xxhash64_u64(fp.astype(np.uint64), seed=FINGERPRINT_SEED)
+
+    def candidates(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(i1, i2, fp) for each uint64 key.
+
+        fp = upper-32-bits & tag_mask, 0 remapped to 1
+        (bucket_policies.cuh:49-53); i1 = lower-32-bits & mask
+        (:56-58); i2 = i1 ^ (h(fp) & mask) (:71-74).
+        """
+        h = xxhash64_u64(keys, seed=FINGERPRINT_SEED)
+        fp = ((h >> np.uint64(32)) & np.uint64(self.config.tag_mask)).astype(
+            self.config.tag_dtype
+        )
+        fp[fp == EMPTY] = 1
+        i1 = (h & self._mask).astype(np.int64)
+        i2 = self.alt_bucket(i1, fp)
+        return i1, i2, fp
+
+    def alt_bucket(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        """i ^ (h(fp) & mask) — self-inverse, so it works from either
+        of the two candidate buckets (bucket_policies.cuh:71-74)."""
+        return (
+            np.asarray(idx, dtype=np.int64)
+            ^ (self._fp_hash(np.asarray(fp)) & self._mask).astype(np.int64)
+        )
+
+    # ------------------------------------------------------------------
+    # insert
+    # ------------------------------------------------------------------
+
+    def _place_batch(
+        self, bucket_idx: np.ndarray, fp: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized first-empty-slot placement of fp[j] into
+        bucket_idx[j] for as many entries as fit; returns success
+        mask. Intra-batch conflicts (several keys targeting one
+        bucket) are resolved by ranking within the bucket group —
+        the serial-equivalent of the reference's per-slot CAS race
+        (``CuckooFilter.cuh:859-904``).
+        """
+        n = len(bucket_idx)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(bucket_idx, kind="stable")
+        sb = bucket_idx[order]
+        new_run = np.empty(n, dtype=bool)
+        new_run[0] = True
+        np.not_equal(sb[1:], sb[:-1], out=new_run[1:])
+        run_id = np.cumsum(new_run) - 1
+        run_start = np.flatnonzero(new_run)
+        rank = np.arange(n) - run_start[run_id]
+        avail = self.config.bucket_size - self.fill[sb]
+        ok = rank < avail
+        tgt_b = sb[ok]
+        tgt_s = (self.fill[sb] + rank)[ok]
+        self.buckets[tgt_b, tgt_s] = fp[order][ok]
+        np.add.at(self.fill, tgt_b, 1)
+        success = np.zeros(n, dtype=bool)
+        success[order[ok]] = True
+        return success
+
+    def _kick_insert_batch(
+        self, i1: np.ndarray, i2: np.ndarray, fp: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized eviction: all stuck keys run their DFS kick
+        chains in lock-step rounds. Each round every pending key
+        evicts one victim from its current (full) bucket — conflicts
+        on the same (bucket, slot) are serialized across rounds —
+        then victims try their alternate bucket via the vectorized
+        placer. Semantically each key still performs the reference's
+        DFS chain (``CuckooFilter.cuh:917-954``); only the
+        interleaving differs, which membership cannot observe.
+
+        Evictions never free slots and placements never target full
+        buckets, so concurrent-round actions commute.
+        """
+        n = len(fp)
+        cur = np.where((fp & 1).astype(bool), i1, i2).astype(np.int64)
+        tag = fp.astype(self.config.tag_dtype).copy()
+        kicks_done = np.zeros(n, dtype=np.int64)
+        success = np.zeros(n, dtype=bool)
+        pending = np.arange(n)
+        b = self.config.bucket_size
+        while pending.size:
+            cp = cur[pending]
+            # serialize same-(bucket,slot) evictors: first wins this round
+            slot = (tag[pending].astype(np.int64) + kicks_done[pending] * 7) & (b - 1)
+            addr = cp * b + slot
+            _, first = np.unique(addr, return_index=True)
+            sel = np.sort(first)
+            act = pending[sel]
+            aslot = slot[sel]
+            victims = self.buckets[cur[act], aslot].copy()
+            self.buckets[cur[act], aslot] = tag[act]
+            tag[act] = victims
+            kicks_done[act] += 1
+            self.kicks += len(act)
+            cur[act] = self.alt_bucket(cur[act], victims)
+            placed = self._place_batch(cur[act], tag[act])
+            success[act[placed]] = True
+            # drop finished + exhausted chains
+            alive = ~success[pending]
+            exhausted = kicks_done[pending] >= self.config.max_kicks
+            dead = alive & exhausted
+            if dead.any():
+                # chain exhausted: last displaced victim dropped, as in
+                # the reference's failed DFS — net occupancy unchanged
+                self.failures += int(dead.sum())
+            pending = pending[alive & ~exhausted]
+        return success
+
+    def insert_many(self, keys: np.ndarray) -> np.ndarray:
+        """Batch insert; returns per-key success (multiset semantics —
+        duplicates each occupy a slot, ``tests/test_cuckoo_filter.cu:
+        147-170``). Mirrors insertMany → insertKernel
+        (``CuckooFilter.cuh:457-464,1119-1141``)."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        n = len(keys)
+        self.inserts += n
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        i1, i2, fp = self.candidates(keys)
+        success = self._place_batch(i1, fp)
+        rem = ~success
+        if rem.any():
+            success[rem] = self._place_batch(i2[rem], fp[rem])
+            rem = ~success
+        if rem.any():
+            idxs = np.flatnonzero(rem)
+            success[idxs] = self._kick_insert_batch(i1[idxs], i2[idxs], fp[idxs])
+        self.occupied += int(success.sum())
+        return success
+
+    def insert_many_sorted(self, keys: np.ndarray) -> np.ndarray:
+        """Locality-optimized insert: sort the batch by primary bucket
+        before placement (the in-batch analog of insertManySorted's
+        radix sort, ``CuckooFilter.cuh:475-508``). Semantics differ
+        only in intra-batch order, which membership can't observe."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        h = xxhash64_u64(keys, seed=FINGERPRINT_SEED)
+        order = np.argsort(h & self._mask, kind="stable")
+        out = np.zeros(len(keys), dtype=bool)
+        out[order] = self.insert_many(keys[order])
+        return out
+
+    # ------------------------------------------------------------------
+    # contains
+    # ------------------------------------------------------------------
+
+    def contains_many(self, keys: np.ndarray) -> np.ndarray:
+        """Batch membership (``CuckooFilter.cuh:518-523,1143-1155``).
+        The (n, bucket_size) equality broadcast replaces the SWAR
+        word probe (``CuckooFilter.cuh:290-346``)."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        i1, i2, fp = self.candidates(keys)
+        fpc = fp[:, None]
+        return (self.buckets[i1] == fpc).any(axis=1) | (
+            self.buckets[i2] == fpc
+        ).any(axis=1)
+
+    # ------------------------------------------------------------------
+    # delete
+    # ------------------------------------------------------------------
+
+    def _remove_one(self, bucket: int, fp: int) -> bool:
+        """Remove exactly one instance of fp from bucket, compacting
+        to keep the prefix-fill invariant
+        (tryRemoveAtBucket, ``CuckooFilter.cuh:805-848``)."""
+        f = self.fill[bucket]
+        row = self.buckets[bucket]
+        hits = np.flatnonzero(row[:f] == fp)
+        if hits.size == 0:
+            return False
+        hole = hits[0]
+        last = f - 1
+        row[hole] = row[last]
+        row[last] = EMPTY
+        self.fill[bucket] = last
+        return True
+
+    def delete_many(self, keys: np.ndarray) -> np.ndarray:
+        """Batch delete with multiset semantics: each successful
+        delete removes one stored instance; deleting k duplicates
+        removes up to k instances (``CuckooFilter.cuh:536-548,
+        1157-1183``; ``tests/test_cuckoo_filter.cu:324-344``).
+
+        Fast path: keys whose (i1, fp) group is unique in the batch
+        and whose buckets are untouched by other deletions are
+        cleared in one vectorized scatter; the remainder (intra-batch
+        duplicates, bucket collisions, i2-side hits) falls back to a
+        compact per-group loop.
+        """
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        i1, i2, fp = self.candidates(keys)
+        success = np.zeros(n, dtype=bool)
+        packed = (i1.astype(np.uint64) << np.uint64(32)) | fp.astype(np.uint64)
+
+        # --- fast path, in chunks so same-bucket collisions stay rare ---
+        # a chunk entry is handled vectorized iff its (i1, fp) group is
+        # unique within the chunk AND it is the only deletion touching
+        # its bucket this chunk; everything else joins the slow path.
+        chunk = 65536
+        for lo in range(0, n, chunk):
+            sl = slice(lo, min(lo + chunk, n))
+            pk = packed[sl]
+            _, first_idx, counts = np.unique(pk, return_index=True, return_counts=True)
+            solo = first_idx[counts == 1] + lo  # batch-unique (i1, fp)
+            if not solo.size:
+                continue
+            b1, b2 = i1[solo], i2[solo]
+            fpc = fp[solo][:, None]
+            m1 = self.buckets[b1] == fpc
+            has1 = m1.any(axis=1)
+            m2 = self.buckets[b2] == fpc
+            found = has1 | m2.any(axis=1)
+            if not found.any():
+                continue
+            tb = np.where(has1, b1, b2)
+            tslot = np.where(has1, m1.argmax(axis=1), m2.argmax(axis=1))
+            cand = solo[found]
+            cand_b = tb[found]
+            cand_slot = tslot[found]
+            touches = np.bincount(cand_b, minlength=self.num_buckets)
+            keep = touches[cand_b] == 1
+            if keep.any():
+                db, ds = cand_b[keep], cand_slot[keep]
+                lasts = self.fill[db] - 1
+                self.buckets[db, ds] = self.buckets[db, lasts]
+                self.buckets[db, lasts] = EMPTY
+                self.fill[db] = lasts
+                success[cand[keep]] = True
+
+        # --- slow path: everything not yet successful -------------------
+        pending = np.flatnonzero(~success)
+        if pending.size:
+            # group pending deletions by (i1, fp) so duplicate deletes
+            # consume distinct stored instances
+            order = pending[np.argsort(packed[pending], kind="stable")]
+            j = 0
+            while j < len(order):
+                k = j
+                while k < len(order) and packed[order[k]] == packed[order[j]]:
+                    k += 1
+                group = order[j:k]
+                b1g, b2g, fg = int(i1[group[0]]), int(i2[group[0]]), int(fp[group[0]])
+                for g in group:
+                    if self._remove_one(b1g, fg) or self._remove_one(b2g, fg):
+                        success[g] = True
+                    else:
+                        break
+                j = k
+        removed = int(success.sum())
+        self.occupied -= removed
+        return success
+
+    # ------------------------------------------------------------------
+    # metrics / lifecycle
+    # ------------------------------------------------------------------
+
+    def clear(self) -> None:
+        """memset parity (``CuckooFilter.cuh:675-682``)."""
+        self.buckets.fill(EMPTY)
+        self.fill.fill(0)
+        self.occupied = self.kicks = self.failures = self.inserts = 0
+
+    @property
+    def slot_capacity(self) -> int:
+        return self.num_buckets * self.config.bucket_size
+
+    def load_factor(self) -> float:
+        """occupied / capacity — note the reference divides by the
+        *requested* capacity in tests (``tests/test_cuckoo_filter.cu:
+        101-124`` asserts lf == inserted/capacity), while
+        ``CuckooFilter.cuh:688-690`` divides by slot capacity; we
+        expose both."""
+        return self.occupied / float(self.capacity)
+
+    def slot_load_factor(self) -> float:
+        return self.occupied / float(self.slot_capacity)
+
+    def count_occupied_slots(self) -> int:
+        """Full-scan verification (``CuckooFilter.cuh:759-785``)."""
+        return int(np.count_nonzero(self.buckets))
+
+    def size_in_bytes(self) -> int:
+        return self.buckets.nbytes
+
+    def metrics(self) -> dict:
+        return {
+            "occupied": self.occupied,
+            "inserts": self.inserts,
+            "kicks": self.kicks,
+            "failures": self.failures,
+            "num_buckets": self.num_buckets,
+            "bucket_size": self.config.bucket_size,
+            "bits_per_tag": self.config.bits_per_tag,
+            "capacity": self.capacity,
+        }
+
+    # ------------------------------------------------------------------
+    # merge (mergeable-sketch contract for tree reduction)
+    # ------------------------------------------------------------------
+
+    def merge_in_place(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Fold ``other`` into ``self`` by re-inserting every stored
+        fingerprint at its current bucket or that bucket's alt —
+        valid because the XOR displacement is self-inverse, so a tag
+        seen in bucket i belongs to pair {i, alt(i, tag)} regardless
+        of which was its i1. Membership answers are invariant to the
+        merge order as long as no insert fails (tests assert this
+        across random orderings). Generalizes the disjoint multi-GPU
+        union (``CuckooFilterMultiGPU.cuh:558-565``)."""
+        if (self.num_buckets, self.config) != (other.num_buckets, other.config):
+            raise ValueError("can only merge filters with identical geometry")
+        bi, slot = np.nonzero(other.buckets)
+        tags = other.buckets[bi, slot]
+        alt = self.alt_bucket(bi.astype(np.int64), tags)
+        success = self._place_batch(bi.astype(np.int64), tags)
+        rem = ~success
+        if rem.any():
+            success[rem] = self._place_batch(alt[rem], tags[rem])
+            rem = ~success
+        if rem.any():
+            idxs = np.flatnonzero(rem)
+            success[idxs] = self._kick_insert_batch(
+                bi[idxs].astype(np.int64), alt[idxs], tags[idxs]
+            )
+        self.occupied += int(success.sum())
+        self.inserts += other.inserts
+        self.kicks += other.kicks
+        self.failures += other.failures
+        return self
+
+    # ------------------------------------------------------------------
+    # serialization (shard blob exchanged between Spark stages)
+    # ------------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        hdr = _HEADER.pack(
+            _MAGIC, self.config.bits_per_tag, 1, self.config.bucket_size,
+            self.num_buckets, self.capacity, self.occupied, self.kicks,
+            self.failures, self.inserts,
+        )
+        return hdr + self.buckets.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "CuckooFilter":
+        magic, f, ver, b, nb, cap, occ, kicks, fails, inserts = _HEADER.unpack_from(
+            blob
+        )
+        if magic != _MAGIC or ver != 1:
+            raise ValueError("bad cuckoo filter blob")
+        cfg = CuckooConfig(bits_per_tag=f, bucket_size=b)
+        flt = cls.__new__(cls)
+        flt.config = cfg
+        flt.capacity = cap
+        flt.num_buckets = nb
+        flt._mask = np.uint64(nb - 1)
+        flt.buckets = (
+            np.frombuffer(blob, dtype=cfg.tag_dtype, offset=_HEADER.size)
+            .reshape(nb, b)
+            .copy()
+        )
+        # prefix-fill invariant holds for all serialized filters
+        flt.fill = np.count_nonzero(flt.buckets, axis=1).astype(np.int64)
+        flt.occupied, flt.kicks, flt.failures, flt.inserts = occ, kicks, fails, inserts
+        return flt
+
+    @classmethod
+    def merge_blobs(cls, blobs) -> "CuckooFilter":
+        """Merge serialized shards (driver-side or inside treeReduce)."""
+        it = iter(blobs)
+        acc = cls.from_bytes(next(it))
+        for b in it:
+            acc.merge_in_place(cls.from_bytes(b))
+        return acc

@@ -1,0 +1,118 @@
+"""Vectorized hashing for the sketch library.
+
+``xxhash64_u64`` is a pure-numpy implementation of the XXH64
+algorithm specialized to 8-byte (one ``uint64``) inputs — the same
+specialization the reference hits for its integer keys
+(``/root/reference/include/hashutil.cuh:42-163``; the 8-byte tail
+path). numpy's modular uint64 arithmetic plays the role the GPU's
+native 64-bit ALU plays there; one call hashes a whole Arrow batch.
+
+Key derivation follows the driver invariant (BASELINE.json input
+hint): ``key = uint64(first 16 hex chars of sha256(content))``,
+computed JVM-side with ``F.sha2`` so content bytes never cross into
+Python. The same value is computable by hashlib (tests) and DuckDB
+(``('0x' || substr(sha256(c),1,16))::UBIGINT``) for oracles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_P1 = np.uint64(0x9E3779B185EBCA87)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_P5 = np.uint64(0x27D4EB2F165667C5)
+_U64 = np.uint64
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def xxhash64_u64(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """XXH64 of each 8-byte little-endian key in ``keys`` (uint64).
+
+    Bit-exact with the scalar XXH64 algorithm for len==8 inputs
+    (verified in tests against known vectors). Fully vectorized.
+    """
+    k = np.ascontiguousarray(keys, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = _U64(seed) + _P5 + _U64(8)
+        # one full 8-byte "round" folded in via the mergeRound path:
+        # XXH64 processes a trailing 8-byte chunk as
+        # h ^= round(0, k); h = rotl(h,27)*P1 + P4
+        k1 = _rotl(k * _P2, 31) * _P1
+        h = h ^ k1
+        h = _rotl(h, 27) * _P1 + _P4
+        # avalanche
+        h ^= h >> _U64(33)
+        h *= _P2
+        h ^= h >> _U64(29)
+        h *= _P3
+        h ^= h >> _U64(32)
+    return h
+
+
+_M64 = (1 << 64) - 1
+
+
+def xxhash64_u64_scalar(key: int, seed: int = 0) -> int:
+    """Scalar python-int XXH64 for 8-byte inputs — bit-identical to
+    :func:`xxhash64_u64`; used in the (rare) per-key eviction loop
+    where numpy call overhead would dominate."""
+    h = (seed + 0x27D4EB2F165667C5 + 8) & _M64
+    k1 = (key * 0xC2B2AE3D27D4EB4F) & _M64
+    k1 = (((k1 << 31 | k1 >> 33) & _M64) * 0x9E3779B185EBCA87) & _M64
+    h ^= k1
+    h = (((h << 27 | h >> 37) & _M64) * 0x9E3779B185EBCA87 + 0x85EBCA77C2B2AE63) & _M64
+    h ^= h >> 33
+    h = (h * 0xC2B2AE3D27D4EB4F) & _M64
+    h ^= h >> 29
+    h = (h * 0x165667B19E3779F9) & _M64
+    h ^= h >> 32
+    return h
+
+
+def key_from_content(content: str) -> int:
+    """Driver-side oracle for the key derivation (uint64 as python int)."""
+    return int(hashlib.sha256(content.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def keys_to_signed(keys_u64: np.ndarray) -> np.ndarray:
+    """Reinterpret uint64 keys as int64 (Spark LongType container)."""
+    return np.asarray(keys_u64, dtype=np.uint64).view(np.int64)
+
+
+def keys_to_unsigned(keys_i64: np.ndarray) -> np.ndarray:
+    """Reinterpret int64 (from Spark) back to uint64."""
+    return np.asarray(keys_i64, dtype=np.int64).view(np.uint64)
+
+
+def content_key_expr(content_col):
+    """Spark Column: int64 whose 64 bits equal
+    uint64(first 16 hex chars of sha256(content)).
+
+    Stays fully JVM-side (sha2/conv/shift are codegen'd); the
+    shiftleft wraps into two's complement exactly like the numpy
+    ``view(int64)`` on the Python side.
+    """
+    from pyspark.sql import functions as F
+
+    hexs = F.lower(F.sha2(content_col, 256))
+    hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+#: DuckDB SQL fragment computing the same signed-int64 key from a
+#: content expression (for oracle_sql parity).
+def content_key_sql(content_expr: str) -> str:
+    ub = f"(('0x' || substr(sha256({content_expr}), 1, 16))::UBIGINT)"
+    return (
+        f"CAST(CAST({ub} AS HUGEINT) - CASE WHEN {ub} >= 9223372036854775808 "
+        f"THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+    )
