@@ -1,0 +1,348 @@
+"""Distributed cuckoo-filter operators over Spark DataFrames.
+
+Two execution modes, mirroring the reference's two deployment
+shapes:
+
+* **merged mode** (:class:`DistributedCuckooFilter`) — one logical
+  filter. Per-partition partial filters are built with zero
+  shuffle (``mapInPandas`` over the source's natural partitions),
+  tree-merged executor-side, and the final blob is broadcast for
+  batch ``contains``. This is the analog of the single-GPU filter
+  (``/root/reference/include/CuckooFilter.cuh``) plus the IPC
+  share-one-filter capability (``CuckooFilterIPC.cuh`` — persist +
+  broadcast replaces the shm ring buffer).
+* **sharded mode** (:class:`ShardedCuckooFilter`) — the filter is a
+  DataFrame of disjoint key-sharded sub-filters; queries/deletes
+  are routed to their owning shard by an independent hash, exactly
+  the multi-GPU layout (``CuckooFilterMultiGPU.cuh:44-51,168-323``:
+  partition → all-to-all → local op). Spark's Exchange IS the
+  multisplit+all2all. This is the 10^12-key path: state never
+  concentrates on one node.
+
+Scale notes (100 TB / 1000 executors):
+* build is map-side only in merged mode — no shuffle of raw keys;
+  the only exchanged bytes are filter blobs (treeReduce).
+* sharded mode shuffles only the 8-byte keys, not source rows;
+  probes co-locate with shard state via the same partitioner, so
+  contains/delete is a single Exchange per batch.
+* shard routing hash (JVM ``F.xxhash64``, seed 42) is independent
+  of the fingerprint/bucket hash (numpy XXH64, private seed), so
+  shard id never correlates with bucket index — the reference gets
+  this for free by taking ``hash % numGPUs`` on the full 64-bit
+  hash (``CuckooFilterMultiGPU.cuh:44-51``); with pow2 bucket masks
+  we must use distinct seeds instead (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, BooleanType, LongType, StructField, StructType,
+)
+
+from cuckoo_filter_spark.config import CuckooConfig
+from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+from cuckoo_filter_spark.hashing import keys_to_unsigned
+
+#: per-shard capacity slack for hash imbalance, as in the reference
+#: multi-GPU layer (``CuckooFilterMultiGPU.cuh:337``).
+OVERPROVISION = 1.02
+
+_SHARD_SCHEMA = StructType([
+    StructField("shard_id", LongType()),
+    StructField("blob", BinaryType()),
+    StructField("rows", LongType()),
+    StructField("inserted", LongType()),
+    StructField("kicks", LongType()),
+    StructField("failures", LongType()),
+])
+
+
+def _keys_from_pdf(pdf: pd.DataFrame, col: str) -> np.ndarray:
+    return keys_to_unsigned(pdf[col].to_numpy(dtype=np.int64, copy=False))
+
+
+# ---------------------------------------------------------------------------
+# merged mode
+# ---------------------------------------------------------------------------
+
+
+class DistributedCuckooFilter:
+    """Build one mergeable filter from a DataFrame key column."""
+
+    def __init__(self, filter_: CuckooFilter):
+        self.filter = filter_
+        self._bc = None
+
+    # -- build ----------------------------------------------------------
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        key_col: str,
+        capacity: int,
+        config: Optional[CuckooConfig] = None,
+        tree_depth: int = 2,
+        sorted_insert: bool = False,
+    ) -> "DistributedCuckooFilter":
+        """Per-partition partial build + tree merge.
+
+        No shuffle of keys: each input partition builds a partial
+        filter of the FINAL geometry (merge requires identical
+        geometry), and only blobs move. Equivalent dataflow to the
+        reference's per-GPU build + union
+        (``CuckooFilterMultiGPU.cuh:335-363``).
+        """
+        cfg = config or CuckooConfig()
+
+        def partial(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            flt = CuckooFilter(capacity, cfg)
+            rows = 0
+            insert = flt.insert_many_sorted if sorted_insert else flt.insert_many
+            for pdf in iterator:
+                keys = _keys_from_pdf(pdf, key_col)
+                rows += len(keys)
+                insert(keys)
+            if rows:
+                yield pd.DataFrame({"blob": [flt.to_bytes()]})
+
+        blobs = (
+            df.select(key_col)
+            .mapInPandas(partial, schema="blob binary")
+            .rdd.map(lambda r: r.blob)
+        )
+        merged_blob = blobs.treeReduce(
+            lambda a, b: CuckooFilter.merge_blobs([a, b]).to_bytes(),
+            depth=tree_depth,
+        )
+        return DistributedCuckooFilter(CuckooFilter.from_bytes(merged_blob))
+
+    # -- query ----------------------------------------------------------
+
+    def _broadcast(self, spark: SparkSession):
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(self.filter.to_bytes())
+        return self._bc
+
+    def contains_udf(self, spark: SparkSession):
+        """Vectorized membership UDF against the broadcast blob
+        (containsMany, ``CuckooFilter.cuh:518-523``). Iterator form
+        deserializes the blob once per task, not per batch."""
+        bc = self._broadcast(spark)
+
+        @F.pandas_udf(BooleanType())
+        def member(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            flt = CuckooFilter.from_bytes(bc.value)
+            for s in batches:
+                keys = keys_to_unsigned(s.to_numpy(dtype=np.int64, copy=False))
+                yield pd.Series(flt.contains_many(keys))
+
+        return member
+
+    def contains(self, df: DataFrame, key_col: str, out_col: str = "member") -> DataFrame:
+        spark = df.sparkSession
+        return df.withColumn(out_col, self.contains_udf(spark)(F.col(key_col)))
+
+    def delete_local(self, keys_i64: np.ndarray) -> np.ndarray:
+        """Driver-side batch delete against the merged filter (the
+        merged filter lives on the driver by construction). For
+        distributed deletes at scale use :class:`ShardedCuckooFilter`.
+        Invalidates the broadcast blob."""
+        self._bc = None
+        return self.filter.delete_many(keys_to_unsigned(keys_i64))
+
+
+# ---------------------------------------------------------------------------
+# sharded mode (multi-GPU analog)
+# ---------------------------------------------------------------------------
+
+
+def shard_expr(key_col: str, num_shards: int):
+    """Shard router: JVM-side xxhash64 (seed 42) mod num_shards —
+    independent of the fingerprint hash family (private seed)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards)).cast("long")
+
+
+@dataclass
+class ShardedCuckooFilter:
+    """A filter kept as a DataFrame of disjoint key-sharded blobs.
+
+    ``shards`` schema: (shard_id, blob, rows, inserted, kicks,
+    failures). State stays distributed; queries and deletes shuffle
+    only their 8-byte keys to the owning shard.
+    """
+
+    shards: DataFrame
+    num_shards: int
+    config: CuckooConfig
+    key_col: str = "key"
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        key_col: str,
+        capacity: int,
+        num_shards: int,
+        config: Optional[CuckooConfig] = None,
+        sorted_insert: bool = False,
+    ) -> "ShardedCuckooFilter":
+        cfg = config or CuckooConfig()
+        per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+
+        def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            flt = CuckooFilter(per_shard_cap, cfg)
+            keys = _keys_from_pdf(pdf, key_col)
+            insert = flt.insert_many_sorted if sorted_insert else flt.insert_many
+            ok = insert(keys)
+            return pd.DataFrame({
+                "shard_id": [key[0]],
+                "blob": [flt.to_bytes()],
+                "rows": [len(keys)],
+                "inserted": [int(ok.sum())],
+                "kicks": [flt.kicks],
+                "failures": [flt.failures],
+            })
+
+        shards = (
+            df.select(F.col(key_col).alias(key_col))
+            .withColumn("__shard", shard_expr(key_col, num_shards))
+            .groupBy("__shard")
+            .applyInPandas(build_shard, schema=_SHARD_SCHEMA)
+        )
+        return ShardedCuckooFilter(shards, num_shards, cfg, key_col)
+
+    def persist(self) -> "ShardedCuckooFilter":
+        self.shards = self.shards.persist()
+        return self
+
+    # -- routed batch ops -------------------------------------------------
+
+    def _routed(self, queries: DataFrame, op: str, out_col: str) -> DataFrame:
+        """Route query keys to their shard and run a local batch op —
+        the Spark expression of the reference's multisplit → all2all
+        → local kernel → reverse all2all round trip
+        (``CuckooFilterMultiGPU.cuh:168-323``). Results come back
+        keyed (no order restoration needed — the reference restores
+        input offsets because its API is positional; ours is
+        relational)."""
+        key_col = self.key_col
+        cfg = self.config
+
+        out_schema = StructType(
+            [StructField(key_col, LongType()), StructField(out_col, BooleanType())]
+        )
+
+        def probe(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame({key_col: [], out_col: []}).astype(
+                    {key_col: "int64", out_col: "bool"}
+                )
+            keys = _keys_from_pdf(left, key_col)
+            if len(right) == 0:
+                res = np.zeros(len(keys), dtype=bool)
+            else:
+                flt = CuckooFilter.from_bytes(right["blob"].iloc[0])
+                res = getattr(flt, op)(keys)
+            return pd.DataFrame({key_col: left[key_col].to_numpy(), out_col: res})
+
+        routed = queries.select(key_col).withColumn(
+            "__shard", shard_expr(key_col, self.num_shards)
+        )
+        return (
+            routed.groupBy("__shard")
+            .cogroup(self.shards.groupBy(F.col("shard_id").alias("__shard")))
+            .applyInPandas(probe, schema=out_schema)
+        )
+
+    def contains(self, queries: DataFrame, out_col: str = "member") -> DataFrame:
+        """Batched membership, shard-routed (returns key → bool)."""
+        return self._routed(queries, "contains_many", out_col)
+
+    def delete(self, deletes: DataFrame) -> tuple[DataFrame, "ShardedCuckooFilter"]:
+        """Batched delete. Returns (per-key success DF, new filter).
+
+        Functional update: produces a new shards DataFrame rather
+        than mutating in place, so lineage/checkpointing stays
+        consistent. One cogroup pass emits both the per-key results
+        and the updated blobs (union schema, split afterwards).
+        """
+        key_col = self.key_col
+        cfg = self.config
+
+        schema = StructType([
+            StructField("shard_id", LongType()),
+            StructField(key_col, LongType()),
+            StructField("ok", BooleanType()),
+            StructField("blob", BinaryType()),
+            StructField("rows", LongType()),
+            StructField("inserted", LongType()),
+            StructField("kicks", LongType()),
+            StructField("failures", LongType()),
+        ])
+
+        def apply_delete(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            shard_id = int(key[0])
+            frames = []
+            if len(right):
+                flt = CuckooFilter.from_bytes(right["blob"].iloc[0])
+                if len(left):
+                    keys = _keys_from_pdf(left, key_col)
+                    ok = flt.delete_many(keys)
+                    frames.append(pd.DataFrame({
+                        "shard_id": shard_id, key_col: left[key_col].to_numpy(),
+                        "ok": ok, "blob": None, "rows": None, "inserted": None,
+                        "kicks": None, "failures": None,
+                    }))
+                frames.append(pd.DataFrame({
+                    "shard_id": [shard_id], key_col: [None], "ok": [None],
+                    "blob": [flt.to_bytes()],
+                    "rows": [int(right["rows"].iloc[0])],
+                    "inserted": [flt.occupied],
+                    "kicks": [flt.kicks], "failures": [flt.failures],
+                }))
+            elif len(left):
+                frames.append(pd.DataFrame({
+                    "shard_id": shard_id, key_col: left[key_col].to_numpy(),
+                    "ok": False, "blob": None, "rows": None, "inserted": None,
+                    "kicks": None, "failures": None,
+                }))
+            return pd.concat(frames, ignore_index=True)
+
+        merged = (
+            deletes.select(key_col)
+            .withColumn("__shard", shard_expr(key_col, self.num_shards))
+            .groupBy("__shard")
+            .cogroup(self.shards.groupBy(F.col("shard_id").alias("__shard")))
+            .applyInPandas(apply_delete, schema=schema)
+            .persist()
+        )
+        results = merged.filter(F.col("blob").isNull()).select(key_col, "ok")
+        new_shards = merged.filter(F.col("blob").isNotNull()).select(
+            "shard_id", "blob", "rows", "inserted", "kicks", "failures"
+        )
+        return results, ShardedCuckooFilter(
+            new_shards, self.num_shards, cfg, key_col
+        )
+
+    # -- aggregates (CuckooFilterMultiGPU.cuh:520-592) --------------------
+
+    def metrics(self) -> DataFrame:
+        return self.shards.agg(
+            F.sum("rows").alias("rows"),
+            F.sum("inserted").alias("occupied"),
+            F.sum("kicks").alias("kicks"),
+            F.sum("failures").alias("failures"),
+            F.count("*").alias("num_shards"),
+        )
+
+    def total_occupied(self) -> int:
+        """Parallel-sum of shard occupancy
+        (``CuckooFilterMultiGPU.cuh:558-565``)."""
+        return self.metrics().collect()[0]["occupied"]

@@ -1,0 +1,156 @@
+"""End-to-end distributed cuckoo-filter tests (SURVEY §5.4,
+FIXTURES.md §2/§4): build over the Iceberg-shaped table, zero false
+negatives, FPR ≤ ε, shard-routed contains/delete, merge
+associativity across partition orderings, skew handling.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.config import CuckooConfig
+from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+from cuckoo_filter_spark.hashing import key_from_content, keys_to_unsigned
+from cuckoo_filter_spark.operators.membership import (
+    DistributedCuckooFilter, ShardedCuckooFilter,
+)
+from cuckoo_filter_spark.sources.repo_table import (
+    repo_files_from_documents, synthetic_repo_files,
+)
+
+N_ROWS = 20_000
+CAPACITY = 32_768
+CFG = CuckooConfig(bits_per_tag=16, bucket_size=4)
+
+
+@pytest.fixture(scope="module")
+def repo_df(spark):
+    df = synthetic_repo_files(spark, N_ROWS, num_partitions=8).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def merged(spark, repo_df):
+    return DistributedCuckooFilter.build(repo_df, "key", CAPACITY, CFG)
+
+
+def test_key_invariant_vs_hashlib(repo_df):
+    """Per-row invariant: Spark-derived key == sha256(content) prefix
+    (BASELINE.json input_hint)."""
+    rows = repo_df.select("content", "key").limit(50).collect()
+    for r in rows:
+        expect = key_from_content(r.content)
+        signed = expect - (1 << 64) if expect >= 1 << 63 else expect
+        assert r.key == signed
+
+
+def test_merged_zero_false_negatives(spark, repo_df, merged):
+    out = merged.contains(repo_df.select("key"), "key")
+    n_found = out.filter(F.col("member")).count()
+    assert n_found == N_ROWS
+    assert merged.filter.occupied == N_ROWS
+    assert merged.filter.failures == 0
+
+
+def test_merged_fpr_bound(spark, merged):
+    """Probe keys from a range disjoint from any sha256-derived key
+    workload (fresh synthetic contents never inserted)."""
+    probes = synthetic_repo_files(spark, 50_000, num_partitions=4, seed=777)
+    out = merged.contains(probes.select("key"), "key")
+    fp = out.filter(F.col("member")).count()
+    alpha = merged.filter.occupied / merged.filter.slot_capacity
+    eps = CFG.theoretical_fpr(alpha)
+    assert fp / 50_000 <= 2.5 * eps + 1e-4
+
+
+def test_sharded_build_and_contains(spark, repo_df):
+    sharded = ShardedCuckooFilter.build(repo_df, "key", CAPACITY, 8, CFG).persist()
+    m = sharded.metrics().collect()[0]
+    assert m["rows"] == N_ROWS
+    assert m["occupied"] == N_ROWS
+    assert m["failures"] == 0
+    assert m["num_shards"] == 8
+    out = sharded.contains(repo_df.select("key"))
+    assert out.filter(F.col("member")).count() == N_ROWS
+
+    # negatives through the same routed path
+    probes = synthetic_repo_files(spark, 30_000, num_partitions=4, seed=999)
+    neg = sharded.contains(probes.select("key"))
+    fpr = neg.filter(F.col("member")).count() / 30_000
+    assert fpr <= 2.5 * CFG.theoretical_fpr(0.95)
+
+
+def test_sharded_delete_then_query(spark, repo_df):
+    sharded = ShardedCuckooFilter.build(repo_df, "key", CAPACITY, 8, CFG).persist()
+    evens = repo_df.filter(F.pmod(F.col("key"), 2) == 0).select("key").persist()
+    odds = repo_df.filter(F.pmod(F.col("key"), 2) != 0).select("key").persist()
+    n_even, n_odd = evens.count(), odds.count()
+
+    results, updated = sharded.delete(evens)
+    assert results.filter(F.col("ok")).count() == n_even
+    # all remaining keys still found (zero false negatives survive delete)
+    still = updated.contains(odds)
+    assert still.filter(F.col("member")).count() == n_odd
+    # occupancy dropped exactly
+    assert updated.total_occupied() == n_odd
+    # deleting the same keys again: (almost) none left — false
+    # positives against remaining fingerprints may delete a few
+    again, _ = updated.delete(evens)
+    assert again.filter(F.col("ok")).count() <= int(0.01 * n_even) + 5
+
+
+def test_merge_associativity_spark(spark, repo_df):
+    """north_rule gate: per-partition shards merged in random orders
+    give identical membership answers (FIXTURES.md §4)."""
+    import pandas as pd
+
+    def partial(iterator):
+        flt = CuckooFilter(CAPACITY, CFG)
+        got = False
+        for pdf in iterator:
+            got = True
+            flt.insert_many(keys_to_unsigned(pdf["key"].to_numpy(np.int64)))
+        if got:
+            yield pd.DataFrame({"blob": [flt.to_bytes()]})
+
+    blobs = [
+        r.blob
+        for r in repo_df.select("key").repartition(16, "key")
+        .mapInPandas(partial, "blob binary").collect()
+    ]
+    assert len(blobs) == 16
+    probe_rows = repo_df.select("key").limit(2000).collect()
+    probes = keys_to_unsigned(np.array([r.key for r in probe_rows], dtype=np.int64))
+    rng = np.random.default_rng(42)
+    ref = None
+    for _ in range(5):
+        order = rng.permutation(16)
+        merged = CuckooFilter.merge_blobs([blobs[i] for i in order])
+        assert merged.failures == 0
+        ans = merged.contains_many(probes)
+        assert ans.all()  # all probes were inserted
+        if ref is None:
+            ref = ans
+        assert (ans == ref).all()
+
+
+def test_skewed_input_build(spark, repo_df):
+    """~30% of rows share one repo (Zipf fixture). Building from a
+    repo-partitioned (maximally skewed) layout must still balance:
+    shard routing is by key hash, so shard row counts stay within
+    2x of each other (FIXTURES.md skewed_partitions)."""
+    skewed = repo_df.repartition(8, "repo")
+    sharded = ShardedCuckooFilter.build(skewed, "key", CAPACITY, 8, CFG)
+    rows = [r["rows"] for r in sharded.shards.select("rows").collect()]
+    assert max(rows) <= 2 * min(rows)
+    assert sum(rows) == N_ROWS
+
+
+def test_documents_view_keys(spark):
+    df = repo_files_from_documents(spark, "/root/testdata/sf0.001")
+    rows = df.select("content", "key").limit(20).collect()
+    for r in rows:
+        expect = key_from_content(r.content)
+        signed = expect - (1 << 64) if expect >= 1 << 63 else expect
+        assert r.key == signed
