@@ -1,0 +1,98 @@
+"""Generic mergeable-sketch aggregation over DataFrames.
+
+One pattern serves every sketch in the library (cuckoo, HLL,
+Bloom, count-min, t-digest, KLL): per-partition vectorized build
+inside ``mapInPandas`` (zero shuffle — Spark's partial-aggregation
+shape, cf. the reference's block-reduce-then-atomic in
+``CuckooFilter.cuh:1122-1140``), then an executor-side
+``treeReduce`` of serialized states, exactly the mergeable-UDAF
+contract the north_rule asks for. A grouped variant runs one
+sketch per key via ``applyInPandas`` (single hash Exchange).
+
+All sketches expose ``add_many(np.ndarray)``, ``merge_in_place``,
+``to_bytes``/``from_bytes``; keys are int64 columns (reinterpreted
+to uint64) and value sketches take float64.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.hashing import keys_to_unsigned
+
+
+def _column_values(pdf: pd.DataFrame, col: str, unsigned: bool) -> np.ndarray:
+    if unsigned:
+        return keys_to_unsigned(pdf[col].to_numpy(dtype=np.int64, copy=False))
+    return pdf[col].to_numpy(dtype=np.float64, copy=False)
+
+
+def aggregate_sketch(
+    df: DataFrame,
+    col: str,
+    make_sketch: Callable[[], object],
+    unsigned_keys: bool = True,
+    tree_depth: int = 2,
+):
+    """Build one sketch over df[col]: partial per partition, tree
+    merge of blobs. Returns the final deserialized sketch object."""
+    cls_holder = {}
+
+    def partial(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk = make_sketch()
+        any_rows = False
+        for pdf in iterator:
+            vals = _column_values(pdf.dropna(subset=[col]), col, unsigned_keys)
+            if len(vals):
+                any_rows = True
+                sk.add_many(vals)
+        if any_rows:
+            yield pd.DataFrame({"blob": [sk.to_bytes()]})
+
+    blobs = df.select(col).mapInPandas(partial, "blob binary").rdd.map(lambda r: r.blob)
+    proto = make_sketch()
+    cls = type(proto)
+
+    def combine(a: bytes, b: bytes) -> bytes:
+        x = cls.from_bytes(a)
+        x.merge_in_place(cls.from_bytes(b))
+        return x.to_bytes()
+
+    if blobs.isEmpty():
+        return proto
+    return cls.from_bytes(blobs.treeReduce(combine, depth=tree_depth))
+
+
+def grouped_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    make_sketch: Callable[[], object],
+    finisher: Callable[[object], dict],
+    finisher_schema: str,
+    unsigned_keys: bool = True,
+) -> DataFrame:
+    """One sketch per group; ``finisher`` maps the sketch to output
+    columns (e.g. {'est': hll.estimate()}). Single shuffle on the
+    group keys; map-side pre-aggregation happens naturally because
+    applyInPandas streams each group's Arrow batches through one
+    sketch."""
+
+    out_schema = (
+        ", ".join(f"{c} string" for c in group_cols) + ", " + finisher_schema
+    )
+
+    def per_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = make_sketch()
+        vals = _column_values(pdf.dropna(subset=[col]), col, unsigned_keys)
+        sk.add_many(vals)
+        row = {c: [k] for c, k in zip(group_cols, key)}
+        row.update({k: [v] for k, v in finisher(sk).items()})
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(per_group, schema=out_schema)
