@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`brute_force_topk` — EXACT cosine top-k: queries are
+  broadcast (small side), each partition computes a vectorized
+  numpy partial top-k over its rows, and a final window takes the
+  global top-k. Shuffle volume is O(num_queries * k * partitions),
+  never the corpus. This is the correctness baseline and is
+  linearly scalable: 100 TB of vectors stream through matmul
+  batches.
+* :func:`lsh_bucket_topk` — random-hyperplane LSH (Charikar 2002):
+  sign-bit signatures bucket the corpus (one Exchange); queries
+  probe their bucket (+ optional multi-probe) and rerank exactly.
+  The scale path when queries are many.
+* :func:`cosine_pairs_ge` — all pairs above a cosine threshold
+  within a label partition (blocked pairwise matmul).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _matrix(series: pd.Series) -> np.ndarray:
+    return np.vstack(series.to_numpy())
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    queries: [(query_id, vector), ...] — driver-side small list,
+    closure-broadcast to executors. Returns (query_id, vec_id,
+    cosine, rank) with deterministic ties (vec_id ascending).
+    """
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = _normalize(_matrix(pdf[vec_col]).astype(np.float64))
+            sims = qm @ cm.T  # (nq, nc)
+            ids = pdf[id_col].to_numpy()
+            take = min(k, sims.shape[1])
+            # partial top-k per query within this batch
+            part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            rows = {
+                "query_id": np.repeat(qids, take),
+                id_col: ids[part].ravel(),
+                "cosine": np.take_along_axis(sims, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        partial, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signature_udf(dim: int, num_bits: int = 16, seed: int = 42):
+    """Pandas UDF: sign-bit LSH signature (int) of an embedding."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_bits))
+
+    @F.pandas_udf("long")
+    def sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            m = _matrix(s).astype(np.float64)
+            bits = (m @ planes) > 0
+            vals = (bits * (1 << np.arange(num_bits, dtype=np.int64))).sum(axis=1)
+            yield pd.Series(vals)
+
+    return sig
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    dim: int = 64,
+    num_bits: int = 12,
+    multi_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe corpus rows sharing the query's
+    hyperplane bucket (plus all buckets within Hamming distance
+    ``multi_probe`` of it — standard multi-probe LSH), rerank
+    candidates exactly. Recall < 1 by design; multi_probe trades
+    probe fan-out for recall without re-bucketing the corpus."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_bits))
+    sig = hyperplane_signature_udf(dim, num_bits, seed)
+    bucketed = corpus.withColumn("__bucket", sig(F.col(vec_col)))
+
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qbits = (qm @ planes) > 0
+    qsig = (qbits * (1 << np.arange(num_bits, dtype=np.int64))).sum(axis=1)
+    qdf_rows = []
+    for q, s in zip(queries, qsig):
+        probes = {int(s)}
+        if multi_probe >= 1:
+            probes |= {int(s) ^ (1 << b) for b in range(num_bits)}
+        if multi_probe >= 2:
+            probes |= {
+                int(s) ^ (1 << a) ^ (1 << b)
+                for a in range(num_bits) for b in range(a + 1, num_bits)
+            }
+        for p in probes:
+            qdf_rows.append((int(q[0]), [float(x) for x in q[1]], p))
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        qdf_rows, f"query_id long, qvec array<double>, __bucket long"
+    )
+    joined = bucketed.join(F.broadcast(qdf), "__bucket")
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = _normalize(_matrix(pdf[vec_col]).astype(np.float64))
+            qv = _normalize(_matrix(pdf["qvec"]).astype(np.float64))
+            cos = (cm * qv).sum(axis=1)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                id_col: pdf[id_col],
+                "cosine": cos,
+            })
+
+    scored = joined.mapInPandas(
+        rerank, schema=f"query_id long, {id_col} long, cosine double"
+    ).dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_pairs_ge(
+    corpus: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold. When
+    block_col is given, only pairs within the same block are
+    considered (the standard blocking trick; an Exchange groups
+    blocks, then pairwise matmul per block)."""
+
+    def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_matrix(pdf[vec_col]).astype(np.float64))
+        ids = pdf[id_col].to_numpy()
+        sims = m @ m.T
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        order = np.argsort(ids)
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ia], ids[ib]),
+            "id_b": np.maximum(ids[ia], ids[ib]),
+            "cosine": sims[ia, ib],
+        })
+
+    grouped = (
+        corpus.groupBy(block_col) if block_col else
+        corpus.withColumn("__g", F.lit(0)).groupBy("__g")
+    )
+    return grouped.applyInPandas(pairs, schema="id_a long, id_b long, cosine double")
