@@ -1,38 +1,618 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke check on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY §2 +
+training-data pipeline ops), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL per query; omitted only
+for genuinely non-SQL-expressible ops (documented inline), which
+the driver records as rows-only checks.
+
+Design note on probabilistic operators: sketch outputs are made
+oracle-checkable by returning *deterministically true* facts —
+zero-false-negative membership on inserted keys, exact delete
+success counts, statistical-bound booleans with overwhelming
+margin — rather than raw estimates, so the DuckDB comparison is
+exact. Raw estimates are separately asserted in tests/.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
+from typing import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.config import CuckooConfig
+from cuckoo_filter_spark.core.bloom import BloomFilter
+from cuckoo_filter_spark.core.countmin import CountMinSketch
+from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+from cuckoo_filter_spark.core.hll import HyperLogLog
+from cuckoo_filter_spark.core.kll import KLLSketch
+from cuckoo_filter_spark.core.tdigest import TDigest
+from cuckoo_filter_spark.hashing import content_key_sql, content_key_expr, keys_to_unsigned
+from cuckoo_filter_spark.operators import dedup, multimodal, similarity, text
+from cuckoo_filter_spark.operators.membership import (
+    DistributedCuckooFilter, ShardedCuckooFilter,
+)
+from cuckoo_filter_spark.operators.sketch_agg import aggregate_sketch, grouped_sketch
+
+CFG = CuckooConfig(bits_per_tag=16, bucket_size=4)
+KEY_SQL = content_key_sql("text")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("key", content_key_expr(F.col("text")))
+    )
+
+
+def _capacity(n: int) -> int:
+    return max(4096, int(n * 1.3))
+
+
+def _negatives(spark: SparkSession, n: int) -> DataFrame:
+    """Probe keys from contents that are never in `documents`
+    (distinct format), mirroring the reference's disjoint key ranges
+    (src/main.cu:46-57)."""
+    return spark.range(n).select(
+        content_key_expr(F.concat(F.lit("negative-probe-"), F.col("id"))).alias("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build a merged cuckoo filter over sha256-derived
+    keys of sf0.001 documents, batch-query all inserted keys plus
+    disjoint negatives, return per-key membership with labels."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    filt = DistributedCuckooFilter.build(docs, "key", _capacity(n), CFG)
+    pos = docs.select("doc_id", "key").withColumn("expected", F.lit(True))
+    neg = (
+        _negatives(spark, 1000)
+        .withColumn("doc_id", F.lit(-1))
+        .withColumn("expected", F.lit(False))
+        .select("doc_id", "key", "expected")
+    )
+    return filt.contains(pos.unionByName(neg), "key")
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+
+def q_cuckoo_contains_all(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    filt = DistributedCuckooFilter.build(docs, "key", _capacity(n), CFG)
+    out = filt.contains(docs.select("doc_id", "key"), "key")
+    return out.select("doc_id", "member")
+
+
+def q_cuckoo_fpr_negatives(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    filt = DistributedCuckooFilter.build(docs, "key", _capacity(n), CFG)
+    n_probes = 20000
+    out = filt.contains(_negatives(spark, n_probes), "key")
+    fps = out.filter(F.col("member")).count()
+    alpha = filt.filter.occupied / filt.filter.slot_capacity
+    eps = CFG.theoretical_fpr(alpha)
+    limit = math.ceil(eps * n_probes + 5 * math.sqrt(eps * n_probes) + 5)
+    return spark.createDataFrame(
+        [(n_probes, bool(fps <= limit))], "n_probes long, fpr_within_bound boolean"
+    )
+
+
+def q_cuckoo_delete_requery(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    sharded = ShardedCuckooFilter.build(docs, "key", _capacity(n), 8, CFG).persist()
+    evens = docs.filter(F.col("doc_id") % 2 == 0).select("key")
+    odds = docs.filter(F.col("doc_id") % 2 == 1).select("key")
+    res, updated = sharded.delete(evens)
+    n_deleted = res.filter(F.col("ok")).count()
+    n_found = updated.contains(odds).filter(F.col("member")).count()
+    return spark.createDataFrame(
+        [(n_deleted, n_found)], "n_deleted long, n_remaining_found long"
+    )
+
+
+def q_cuckoo_merge_associativity(spark, sf_dir):
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    cap = _capacity(n)
+
+    def partial(it):
+        flt = CuckooFilter(cap, CFG)
+        got = False
+        for pdf in it:
+            got = True
+            flt.insert_many(keys_to_unsigned(pdf["key"].to_numpy(np.int64)))
+        if got:
+            yield pd.DataFrame({"blob": [flt.to_bytes()]})
+
+    blobs = [r.blob for r in docs.select("key").repartition(8, "key")
+             .mapInPandas(partial, "blob binary").collect()]
+    keys = keys_to_unsigned(
+        np.array([r.key for r in docs.select("key").collect()], dtype=np.int64)
+    )
+    answers = []
+    for order in ([0, 1, 2, 3, 4, 5, 6, 7], [7, 3, 5, 1, 6, 0, 2, 4],
+                  [4, 5, 6, 7, 0, 1, 2, 3]):
+        merged = CuckooFilter.merge_blobs([blobs[i] for i in order if i < len(blobs)])
+        answers.append(merged.contains_many(keys))
+    disagreements = int(sum((answers[0] != a).sum() for a in answers[1:]))
+    return spark.createDataFrame(
+        [(len(answers), disagreements, int(answers[0].sum()))],
+        "n_orders_tested long, disagreements long, n_found long",
+    )
+
+
+def q_cuckoo_shard_metrics(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    sharded = ShardedCuckooFilter.build(docs, "key", _capacity(n), 8, CFG)
+    m = sharded.metrics().collect()[0]
+    return spark.createDataFrame(
+        [(m["rows"], m["occupied"], m["failures"], m["num_shards"])],
+        "n_rows long, occupied long, failures long, num_shards long",
+    )
+
+
+def q_hll_distinct_documents(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    hll = aggregate_sketch(docs, "key", lambda: HyperLogLog(14))
+    exact = docs.agg(F.countDistinct("text").alias("d")).collect()[0]["d"]
+    ok = abs(hll.estimate() - exact) <= max(2.0, 3 * hll.relative_error * exact)
+    return spark.createDataFrame(
+        [(exact, bool(ok))], "exact_distinct long, hll_ok boolean"
+    )
+
+
+def q_hll_per_lang(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    est = grouped_sketch(
+        docs, ["lang"], "key", lambda: HyperLogLog(14),
+        lambda sk: {"est": int(round(sk.estimate()))}, "est long",
+    )
+    exact = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
+    joined = est.join(exact, "lang")
+    return joined.select(
+        "lang", "exact_distinct",
+        (F.abs(F.col("est") - F.col("exact_distinct"))
+         <= F.greatest(F.lit(2.0), F.col("exact_distinct") * 0.04)).alias("hll_ok"),
+    )
+
+
+def q_bloom_customer_orders(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = cust.count()
+    bloom = aggregate_sketch(
+        cust.select(F.col("c_custkey").alias("key")), "key",
+        lambda: BloomFilter(max(n_cust, 1024), 0.01),
+    )
+    bc = spark.sparkContext.broadcast(bloom.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def member(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        blm = BloomFilter.from_bytes(bc.value)
+        for s in batches:
+            yield pd.Series(
+                blm.contains_many(keys_to_unsigned(s.to_numpy(np.int64)))
+            )
+
+    probed = orders.select(member(F.col("o_custkey")).alias("m"))
+    return spark.createDataFrame(
+        [(orders.count(), probed.filter(F.col("m")).count())],
+        "n_orders long, n_member long",
+    )
+
+
+def q_cms_event_type_frequencies(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "tkey", content_key_expr(F.col("event_type"))
+    )
+    cms = aggregate_sketch(events, "tkey", lambda: CountMinSketch(0.0005, 0.99))
+    exact = events.groupBy("event_type").agg(
+        F.count("*").alias("exact_cnt"), F.first("tkey").alias("tkey")
+    ).collect()
+    ests = cms.estimate_many(
+        keys_to_unsigned(np.array([r.tkey for r in exact], dtype=np.int64))
+    )
+    rows = [
+        (r.event_type, r.exact_cnt, bool(int(e) == r.exact_cnt))
+        for r, e in zip(exact, ests)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, exact_cnt long, cms_exact boolean"
+    )
+
+
+_QUANTILES = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _rank_check(spark, df, col, sketch, qs, tol):
+    n = df.count()
+    rows = []
+    for q in qs:
+        est = sketch.quantile(q)
+        rank = df.filter(F.col(col) <= est).count() / n
+        rows.append((q, bool(abs(rank - q) <= tol)))
+    return spark.createDataFrame(rows, "q double, rank_ok boolean")
+
+
+def q_tdigest_lineitem_price(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    td = aggregate_sketch(li, "l_extendedprice", lambda: TDigest(200),
+                          unsigned_keys=False)
+    return _rank_check(spark, li, "l_extendedprice", td, _QUANTILES, 0.02)
+
+
+def q_kll_events_value(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kll = aggregate_sketch(ev, "value", lambda: KLLSketch(200),
+                           unsigned_keys=False)
+    return _rank_check(spark, ev, "value", kll, _QUANTILES, 0.025)
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+def q_token_quality_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", *text.quality_features(F.col("text")))
+
+
+def q_lang_detect(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", *text.lang_scores(F.col("text")),
+        text.detect_lang(F.col("text")).alias("detected"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", text.md5_fingerprint64(F.col("text")).alias("fp64")
+    )
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.near_dup_pairs(
+        docs, "text", "doc_id", threshold=0.9, num_hashes=128, bands=32
+    )
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+def q_simhash_docs(spark, sf_dir):
+    """rows-only check: SimHash bit arithmetic is not reasonably
+    SQL-expressible (weighted per-bit majority over md5 token
+    hashes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash64(docs, "text", "doc_id")
+
+
+def q_rolling_fingerprints(spark, sf_dir):
+    """rows-only check: Catalyst aggregate() polynomial rolling hash;
+    DuckDB list_reduce over 64-bit modular arithmetic differs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", text.rolling_fingerprint64(F.col("text")).alias("rfp")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "vec_id")
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """rows-only check: LSH candidate sets are approximate by
+    design; exact recall is asserted in tests instead."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return similarity.lsh_bucket_topk(emb, queries, k=5, dim=64, num_bits=8)
+
+
+def q_multimodal_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.attach_media(docs, "text", "doc_id")
+    feats = multimodal.extract_features(media, "doc_id")
+    return feats.select(
+        "doc_id", "n_bytes", F.size("features").alias("feat_dim")
+    )
+
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            .alias("sum_base_cents"),
+            F.sum(F.round(F.col("l_discount") * 10000, 0).cast("long"))
+            .alias("sum_disc_bps"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_top_events_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+def q_events_json_extract(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+def q_bloom_semijoin_orders(spark, sf_dir):
+    """Cuckoo/Bloom as approximate semi-join pre-filter, then exact
+    verification — the reference's membership-sketch use-case
+    expressed relationally (SURVEY §2.7). Result is exactly the
+    true semi-join because candidates are verified."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    seg = cust.filter(F.col("c_nationkey") < 10)
+    n_seg = seg.count()
+    filt = DistributedCuckooFilter.build(
+        seg.select(F.col("c_custkey").alias("key")), "key", _capacity(n_seg), CFG
+    )
+    pre = filt.contains(
+        orders.select("o_orderkey", F.col("o_custkey").alias("key")), "key"
+    ).filter(F.col("member"))
+    verified = pre.join(
+        F.broadcast(seg.select(F.col("c_custkey").alias("key"))), "key", "left_semi"
+    )
+    return spark.createDataFrame(
+        [(verified.count(),)], "n_orders_selected long"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cuckoo_contains_all": q_cuckoo_contains_all,
+        "cuckoo_fpr_negatives": q_cuckoo_fpr_negatives,
+        "cuckoo_delete_requery": q_cuckoo_delete_requery,
+        "cuckoo_merge_associativity": q_cuckoo_merge_associativity,
+        "cuckoo_shard_metrics": q_cuckoo_shard_metrics,
+        "hll_distinct_documents": q_hll_distinct_documents,
+        "hll_per_lang": q_hll_per_lang,
+        "bloom_customer_orders": q_bloom_customer_orders,
+        "cms_event_type_frequencies": q_cms_event_type_frequencies,
+        "tdigest_lineitem_price": q_tdigest_lineitem_price,
+        "kll_events_value": q_kll_events_value,
+        "dedup_exact": q_dedup_exact,
+        "token_quality_stats": q_token_quality_stats,
+        "lang_detect": q_lang_detect,
+        "doc_fingerprints": q_doc_fingerprints,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_docs": q_simhash_docs,
+        "rolling_fingerprints": q_rolling_fingerprints,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "multimodal_features": q_multimodal_features,
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "top_events_per_user": q_top_events_per_user,
+        "events_json_extract": q_events_json_extract,
+        "bloom_semijoin_orders": q_bloom_semijoin_orders,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKEN_SQL = """
+WITH c AS (
+  SELECT doc_id, text,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS coll
+  FROM documents
+), iso AS (
+  SELECT *, ' ' || replace(coll, ' ', '  ') || ' ' AS pad FROM c
+)
+"""
+
+
+def _word_cnt(word: str) -> str:
+    pat = f" {word} "
+    return (
+        f"CAST((length(pad) - length(replace(pad, '{pat}', ''))) // {len(pat)}"
+        " AS BIGINT)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_score_cols = []
+    for lang, words in text.LANG_MARKERS.items():
+        score = " + ".join(_word_cnt(w) for w in words)
+        lang_score_cols.append(f"CAST({score} AS BIGINT) AS score_{lang}")
+    langs = list(text.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    detect = "CASE "
+    for l in langs:
+        detect += f"WHEN score_{l} = {best} AND {best} > 0 THEN '{l}' "
+    detect += "ELSE 'und' END"
+
+    md5sig = (
+        "(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),"
+        " 1, 16))::UBIGINT)"
+    )
+
+    return {
+        "cuckoo_contains_all":
+            "SELECT doc_id, TRUE AS member FROM documents",
+        "cuckoo_fpr_negatives":
+            "SELECT CAST(20000 AS BIGINT) AS n_probes, TRUE AS fpr_within_bound",
+        "cuckoo_delete_requery": """
+            SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_deleted,
+                   (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_remaining_found
+        """,
+        "cuckoo_merge_associativity": """
+            SELECT CAST(3 AS BIGINT) AS n_orders_tested,
+                   CAST(0 AS BIGINT) AS disagreements,
+                   (SELECT count(*) FROM documents) AS n_found
+        """,
+        "cuckoo_shard_metrics": """
+            SELECT count(*) AS n_rows, count(*) AS occupied,
+                   CAST(0 AS BIGINT) AS failures, CAST(8 AS BIGINT) AS num_shards
+            FROM documents
+        """,
+        "hll_distinct_documents":
+            "SELECT count(DISTINCT text) AS exact_distinct, TRUE AS hll_ok "
+            "FROM documents",
+        "hll_per_lang":
+            "SELECT lang, count(DISTINCT text) AS exact_distinct, TRUE AS hll_ok "
+            "FROM documents GROUP BY lang",
+        "bloom_customer_orders":
+            "SELECT count(*) AS n_orders, count(*) AS n_member FROM orders",
+        "cms_event_type_frequencies":
+            "SELECT event_type, count(*) AS exact_cnt, TRUE AS cms_exact "
+            "FROM events GROUP BY event_type",
+        "tdigest_lineitem_price":
+            "SELECT CAST(q AS DOUBLE) AS q, rank_ok FROM (VALUES "
+            + ", ".join(f"({q}, TRUE)" for q in _QUANTILES) + ") t(q, rank_ok)",
+        "kll_events_value":
+            "SELECT CAST(q AS DOUBLE) AS q, rank_ok FROM (VALUES "
+            + ", ".join(f"({q}, TRUE)" for q in _QUANTILES) + ") t(q, rank_ok)",
+        "dedup_exact":
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_quality_stats": _TOKEN_SQL + """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(coll) = 0 THEN 0
+                        ELSE length(coll) - length(replace(coll, ' ', '')) + 1
+                   END AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                        AS BIGINT) AS n_punct,
+                   CAST(""" + " + ".join(
+                       _word_cnt(w) for w in text.LANG_MARKERS["en"]
+                   ) + """ AS BIGINT) AS n_stopwords
+            FROM iso
+        """,
+        "lang_detect": _TOKEN_SQL + f"""
+            SELECT doc_id, {', '.join(lang_score_cols)},
+                   {detect} AS detected
+            FROM iso
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id,
+                   CAST(CAST({md5sig} AS HUGEINT) -
+                        CASE WHEN {md5sig} >= 9223372036854775808
+                             THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp64
+            FROM documents
+        """,
+        "minhash_near_dups": """
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            ), ix AS (
+              SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM n
+            ), sh AS (
+              SELECT doc_id, list(DISTINCT substr(t, CAST(i AS INT), 3)) AS s
+              FROM ix GROUP BY doc_id
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+            FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.9
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            s AS (SELECT q.qid AS query_id, e.vec_id,
+                         list_cosine_similarity(q.qv, e.embedding) AS cos
+                  FROM q, embeddings e),
+            r AS (SELECT query_id, vec_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, vec_id) AS rank
+                  FROM s)
+            SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+            FROM r WHERE rank <= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(8 AS INT) AS feat_dim
+            FROM documents
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
+                   SUM(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS sum_disc_bps,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "bloom_semijoin_orders": """
+            SELECT count(*) AS n_orders_selected FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_nationkey < 10
+            )
+        """,
+        # simhash_docs, rolling_fingerprints, ann_lsh_recall: rows-only
+        # (non-SQL-expressible / approximate by design — see docstrings)
+    }
