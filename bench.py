@@ -1,0 +1,213 @@
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ...,
+ plus informational throughput fields}.
+
+Headline workload mirrors the reference benchmark definitions
+(BASELINE.md): batch fingerprint inserts to ~0.95 load factor,
+batched membership queries (positive + disjoint negative probes),
+batched deletes — on sha256-derived keys from a synthesized
+Iceberg-shaped repo table — plus representative sf-scale table
+queries (TPC-H Q1 ints, HLL distinct, t-digest quantiles, exact
+dedup, token stats, ANN top-k).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_KEYS (default
+2^22 filter slots' worth, ~4M keys).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.config import CuckooConfig
+from cuckoo_filter_spark.core.hll import HyperLogLog
+from cuckoo_filter_spark.core.tdigest import TDigest
+from cuckoo_filter_spark.operators import dedup, similarity, text
+from cuckoo_filter_spark.operators.membership import ShardedCuckooFilter
+from cuckoo_filter_spark.operators.sketch_agg import aggregate_sketch
+from cuckoo_filter_spark.sources.repo_table import synthetic_repo_files
+
+CFG = CuckooConfig(bits_per_tag=16, bucket_size=4)
+TARGET_LOAD = 0.95
+
+
+def build_session(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cuckoo-filter-spark-bench")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        .getOrCreate()
+    )
+
+
+def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
+    timings: dict[str, float] = {}
+    info: dict[str, float] = {}
+    cpus = spark.sparkContext.defaultParallelism
+
+    # ---- headline: cuckoo insert / contains / delete ------------------
+    slots = 1 << max(12, int(np.ceil(np.log2(n_keys / TARGET_LOAD))))
+    capacity = slots  # slot-capacity; shards overprovision internally
+    num_shards = max(2 * cpus, 16)
+
+    repo = synthetic_repo_files(spark, n_keys, num_partitions=cpus).persist()
+    n_rows = repo.count()  # materialize input outside the timed region
+
+    # warm the Python worker pool (imports numpy/pandas/our package in
+    # every worker) so timings measure operators, not interpreter start
+    import pandas as _pd
+
+    def _warm(it):
+        from cuckoo_filter_spark.core.cuckoo import CuckooFilter  # noqa: F401
+        for pdf in it:
+            yield _pd.DataFrame({"x": [len(pdf)]})
+
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(_warm, "x long").count()
+
+    t0 = time.time()
+    filt = ShardedCuckooFilter.build(
+        repo, "key", capacity, num_shards, CFG
+    ).persist()
+    m = filt.metrics().collect()[0]
+    timings["cuckoo_insert"] = time.time() - t0
+    info["inserts_per_sec"] = n_rows / timings["cuckoo_insert"]
+    info["insert_success_rate"] = m["occupied"] / m["rows"]
+    info["load_factor"] = m["occupied"] / (capacity * OVER())
+    info["kicks_per_insert"] = m["kicks"] / m["rows"]
+
+    probes = (
+        repo.select("key")
+        .unionByName(
+            synthetic_repo_files(spark, n_keys, num_partitions=cpus, seed=777)
+            .select("key")
+        )
+        .persist()
+    )
+    n_probes = probes.count()
+    t0 = time.time()
+    res = filt.contains_broadcast(probes, "key")
+    n_member = res.filter(F.col("member")).count()
+    timings["cuckoo_contains"] = time.time() - t0
+    info["queries_per_sec"] = n_probes / timings["cuckoo_contains"]
+    # zero false negatives → members >= inserted keys
+    info["contains_fpr"] = max(0.0, (n_member - m["occupied"]) / (n_probes - n_rows))
+
+    deletes = repo.select("key").sample(0.5, seed=1).persist()
+    n_del = deletes.count()
+    t0 = time.time()
+    del_res, _ = filt.delete(deletes)
+    n_ok = del_res.filter(F.col("ok")).count()
+    timings["cuckoo_delete"] = time.time() - t0
+    info["deletes_per_sec"] = n_del / timings["cuckoo_delete"]
+    info["delete_success_rate"] = n_ok / max(n_del, 1)
+    repo.unpersist(); probes.unpersist(); deletes.unpersist()
+
+    # ---- table queries at sf ------------------------------------------
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    t0 = time.time()
+    (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.round("l_quantity", 0).cast("long")).alias("sum_qty"),
+             F.count("*").alias("n"))
+        .collect()
+    )
+    timings["q1_pricing"] = time.time() - t0
+
+    t0 = time.time()
+    hll = aggregate_sketch(
+        li.select(F.col("l_orderkey").alias("key")), "key",
+        lambda: HyperLogLog(14),
+    )
+    _ = hll.estimate()
+    timings["hll_distinct"] = time.time() - t0
+
+    t0 = time.time()
+    td = aggregate_sketch(li, "l_extendedprice", lambda: TDigest(200),
+                          unsigned_keys=False)
+    _ = td.quantiles([0.1, 0.5, 0.9])
+    timings["tdigest_quantiles"] = time.time() - t0
+
+    t0 = time.time()
+    dedup.exact_dedup(docs, "text", "doc_id").count()
+    timings["dedup_exact"] = time.time() - t0
+
+    t0 = time.time()
+    docs.select("doc_id", *text.quality_features(F.col("text"))).agg(
+        F.sum("n_tokens")
+    ).collect()
+    timings["token_stats"] = time.time() - t0
+
+    t0 = time.time()
+    queries = [(int(r.vec_id), list(r.embedding))
+               for r in emb.limit(8).collect()]
+    similarity.brute_force_topk(emb, queries, k=10).count()
+    timings["ann_topk"] = time.time() - t0
+
+    t0 = time.time()
+    ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+    ).collect()
+    timings["events_json_agg"] = time.time() - t0
+
+    return {"timings": timings, "info": info, "n_keys": n_rows}
+
+
+def OVER() -> float:
+    from cuckoo_filter_spark.operators.membership import OVERPROVISION
+    return OVERPROVISION
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_keys = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_KEYS", str(int((1 << 22) * TARGET_LOAD))
+    ))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        out = run_bench(spark, sf_dir, n_keys)
+    finally:
+        spark.stop()
+    total = sum(out["timings"].values())
+    line = {
+        "metric": "cuckoo sketch suite wall time (insert+contains+delete "
+                  "@0.95 load + table queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in out["timings"].items()},
+        "sf": sf,
+        "cpus": cpus,
+        "n_keys": out["n_keys"],
+        "inserts_per_sec": round(out["info"]["inserts_per_sec"]),
+        "queries_per_sec": round(out["info"]["queries_per_sec"]),
+        "deletes_per_sec": round(out["info"]["deletes_per_sec"]),
+        "load_factor": round(out["info"]["load_factor"], 4),
+        "insert_success_rate": round(out["info"]["insert_success_rate"], 6),
+        "delete_success_rate": round(out["info"]["delete_success_rate"], 6),
+        "contains_fpr": round(out["info"]["contains_fpr"], 8),
+        "kicks_per_insert": round(out["info"]["kicks_per_insert"], 3),
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

@@ -265,6 +265,80 @@ class ShardedCuckooFilter:
         """Batched membership, shard-routed (returns key → bool)."""
         return self._routed(queries, "contains_many", out_col)
 
+    def contains_broadcast(
+        self, queries: DataFrame, key_col: str | None = None,
+        out_col: str = "member",
+    ) -> DataFrame:
+        """Zero-shuffle membership: ALL shard blobs are broadcast and
+        stacked into ONE (num_shards*num_buckets, bucket_size) array,
+        so a whole Arrow batch is answered in a single vectorized
+        pass — per-key shard routing (xxhash64 seed 42, bit-exact
+        with the JVM build-time router; verified in tests) just
+        offsets the bucket index by shard_id*num_buckets. Use when
+        the total filter size is broadcastable (it is whenever the
+        merged filter would be); :meth:`contains` is the
+        shuffle-routed alternative for filters too big to ship.
+        Appends `out_col` to the query DataFrame (all columns kept).
+        """
+        key_col = key_col or self.key_col
+        spark = queries.sparkSession
+        blobs = {r.shard_id: bytes(r.blob) for r in self.shards.collect()}
+        bc = spark.sparkContext.broadcast(blobs)
+        num_shards = self.num_shards
+
+        @F.pandas_udf(BooleanType())
+        def member(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            from cuckoo_filter_spark.config import FINGERPRINT_SEED
+            from cuckoo_filter_spark.hashing import xxhash64_u64
+
+            state = {}
+
+            def combined():
+                if "big" not in state:
+                    protos = {
+                        sid: CuckooFilter.from_bytes(b)
+                        for sid, b in bc.value.items()
+                    }
+                    any_f = next(iter(protos.values()))
+                    nb, bs = any_f.num_buckets, any_f.config.bucket_size
+                    big = np.zeros(
+                        (num_shards * nb, bs), dtype=any_f.config.tag_dtype
+                    )
+                    for sid, f in protos.items():
+                        if f.num_buckets != nb:
+                            raise ValueError("heterogeneous shard geometry")
+                        big[sid * nb : (sid + 1) * nb] = f.buckets
+                    state["big"] = big
+                    state["nb"] = nb
+                    state["tag_mask"] = any_f.config.tag_mask
+                return state["big"], state["nb"], state["tag_mask"]
+
+            for s in batches:
+                keys = s.to_numpy(dtype=np.int64, copy=False).view(np.uint64)
+                big, nb, tag_mask = combined()
+                mask = np.uint64(nb - 1)
+                shard = (
+                    xxhash64_u64(keys, seed=42).view(np.int64) % num_shards
+                ).astype(np.int64)
+                h = xxhash64_u64(keys, seed=FINGERPRINT_SEED)
+                fp = ((h >> np.uint64(32)) & np.uint64(tag_mask)).astype(
+                    big.dtype
+                )
+                fp[fp == 0] = 1
+                i1 = (h & mask).astype(np.int64)
+                alt = (
+                    xxhash64_u64(fp.astype(np.uint64), seed=FINGERPRINT_SEED)
+                    & mask
+                ).astype(np.int64)
+                base = shard * nb
+                fpc = fp[:, None]
+                res = (big[base + i1] == fpc).any(axis=1) | (
+                    big[base + (i1 ^ alt)] == fpc
+                ).any(axis=1)
+                yield pd.Series(res)
+
+        return queries.withColumn(out_col, member(F.col(key_col)))
+
     def delete(self, deletes: DataFrame) -> tuple[DataFrame, "ShardedCuckooFilter"]:
         """Batched delete. Returns (per-key success DF, new filter).
 

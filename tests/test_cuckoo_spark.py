@@ -100,6 +100,25 @@ def test_sharded_delete_then_query(spark, repo_df):
     assert again.filter(F.col("ok")).count() <= int(0.01 * n_even) + 5
 
 
+def test_contains_broadcast_matches_routed(spark, repo_df):
+    """The stacked-broadcast probe path must agree bit-for-bit with
+    the shuffle-routed path (same shards, same probes)."""
+    sharded = ShardedCuckooFilter.build(repo_df, "key", CAPACITY, 8, CFG).persist()
+    probes = (
+        repo_df.select("key")
+        .unionByName(
+            synthetic_repo_files(spark, 10_000, num_partitions=4, seed=555)
+            .select("key")
+        )
+        .persist()
+    )
+    routed = sharded.contains(probes).withColumnRenamed("member", "a")
+    bcast = sharded.contains_broadcast(probes).withColumnRenamed("member", "b")
+    diff = routed.join(bcast, "key").filter(F.col("a") != F.col("b")).count()
+    assert diff == 0
+    assert bcast.filter(F.col("b")).count() >= N_ROWS  # zero FN
+
+
 def test_merge_associativity_spark(spark, repo_df):
     """north_rule gate: per-partition shards merged in random orders
     give identical membership answers (FIXTURES.md §4)."""

@@ -1,0 +1,88 @@
+"""Structured Streaming tests: membership annotation and novel-key
+gating over a file-source micro-batch run, watermarked dedup.
+File source + availableNow trigger = deterministic input set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.config import CuckooConfig
+from cuckoo_filter_spark.operators.membership import DistributedCuckooFilter
+from cuckoo_filter_spark.streaming import membership as sm
+
+CFG = CuckooConfig(16, 4)
+
+
+@pytest.fixture(scope="module")
+def even_filter(spark):
+    even_df = spark.range(0, 5000).select((F.col("id") * 2).alias("key"))
+    return DistributedCuckooFilter.build(even_df, "key", 8192, CFG)
+
+
+@pytest.fixture()
+def key_stream(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    (
+        spark.range(0, 3000)
+        .select(
+            F.col("id").alias("key"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + (F.col("id") % 7))
+            .alias("ts"),
+        )
+        .write.parquet(src_dir)
+    )
+    return (
+        spark.readStream.schema("key long, ts timestamp").parquet(src_dir)
+    )
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_membership(spark, even_filter, key_stream):
+    annotated = sm.stream_membership(key_stream, even_filter, "key").select(
+        "key", "member"
+    )
+    rows = _run_stream(spark, annotated, "stream_membership_t").collect()
+    assert len(rows) == 3000
+    # zero false negatives: every inserted even key is a member
+    assert all(r.member for r in rows if r.key % 2 == 0)
+    # odd keys were never inserted; FPs are rare
+    fp = sum(1 for r in rows if r.key % 2 == 1 and r.member)
+    assert fp <= 10
+
+
+def test_stream_novel_keys(spark, even_filter, key_stream):
+    novel = sm.stream_novel_keys(key_stream, even_filter, "key")
+    keys = [r.key for r in _run_stream(spark, novel, "stream_novel_t")
+            .select("key").collect()]
+    assert keys, "stream produced no rows"
+    assert all(k % 2 == 1 for k in keys)  # all evens gated out (no FN)
+    assert len(keys) >= 1400  # most odds survive (small FP loss only)
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    src_dir = str(tmp_path / "dups")
+    (
+        spark.range(0, 1000)
+        .select(
+            (F.col("id") % 100).alias("k"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
+            .alias("ts"),
+        )
+        .write.parquet(src_dir)
+    )
+    src = spark.readStream.schema("k long, ts timestamp").parquet(src_dir)
+    deduped = sm.stream_exact_dedup(src, ["k"], "ts", "10 seconds")
+    out = _run_stream(spark, deduped, "stream_dedup_t")
+    ks = [r.k for r in out.select("k").collect()]
+    assert len(ks) == len(set(ks))  # no duplicates within the run
+    assert set(ks) == set(range(100))
