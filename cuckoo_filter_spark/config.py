@@ -49,6 +49,11 @@ class CuckooConfig:
     bits_per_tag: int = 16
     bucket_size: int = 4
     max_kicks: int = 500  # maxEvictions default (CuckooFilter.cuh:47)
+    #: 'dfs' (class default, CuckooFilter.cuh:51) or 'bfs'
+    #: (README-documented default; shallow lookahead then DFS
+    #: fallback, CuckooFilter.cuh:967-1018). Does not affect the
+    #: stored layout or membership semantics, only insert paths.
+    eviction_policy: str = "dfs"
 
     def __post_init__(self) -> None:
         if self.bits_per_tag not in (8, 16, 32):
@@ -56,6 +61,8 @@ class CuckooConfig:
             raise ValueError("bits_per_tag must be 8, 16 or 32")
         if self.bucket_size < 1 or self.bucket_size & (self.bucket_size - 1):
             raise ValueError("bucket_size must be a power of two")
+        if self.eviction_policy not in ("dfs", "bfs"):
+            raise ValueError("eviction_policy must be 'dfs' or 'bfs'")
 
     @property
     def tag_dtype(self) -> np.dtype:

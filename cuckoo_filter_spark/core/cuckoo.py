@@ -47,7 +47,10 @@ from cuckoo_filter_spark.config import EMPTY, FINGERPRINT_SEED, CuckooConfig
 from cuckoo_filter_spark.hashing import xxhash64_u64
 
 _MAGIC = b"CKFS"
-_HEADER = struct.Struct("<4sBBHIQQQQQ")  # magic,f,ver,b,num_buckets,cap,occ,kicks,fail,inserts
+#: magic, version, bits_per_tag, bucket_size, policy, pad,
+#: num_buckets, capacity, occupied, kicks, failures, inserts
+_HEADER = struct.Struct("<4sBBHB7xQQQQQQ")
+_POLICIES = ("dfs", "bfs")
 
 
 class CuckooFilter:
@@ -139,6 +142,39 @@ class CuckooFilter:
         success[order[ok]] = True
         return success
 
+    def _bfs_relocate(self, cur: np.ndarray, tags: np.ndarray) -> np.ndarray:
+        """One vectorized BFS lookahead pass (``CuckooFilter.cuh:
+        967-1018``): among the first min(8, b/2) victims of each full
+        bucket, move the first whose own alternate bucket has room,
+        then claim its slot. Returns per-key placed mask; the rest
+        fall back to the DFS chain, as in the reference."""
+        b = self.config.bucket_size
+        c = min(8, max(1, b // 2))
+        n = len(cur)
+        placed = np.zeros(n, dtype=bool)
+        vict = self.buckets[cur[:, None], np.arange(c)[None, :]]  # (n, c)
+        valt = self.alt_bucket(
+            np.repeat(cur, c), vict.ravel()
+        ).reshape(n, c)
+        room = self.fill[valt] < b
+        has = room.any(axis=1)
+        idx = np.flatnonzero(has)
+        if not idx.size:
+            return placed
+        choice = room.argmax(axis=1)[idx]
+        # serialize same-(bucket, slot) evictors: first wins this pass
+        addr = cur[idx] * b + choice
+        _, first = np.unique(addr, return_index=True)
+        sel = np.sort(first)
+        act, aslot = idx[sel], choice[sel]
+        victims = self.buckets[cur[act], aslot].copy()
+        ok = self._place_batch(valt[act, aslot], victims)
+        moved = act[ok]
+        self.buckets[cur[moved], aslot[ok]] = tags[moved]
+        placed[moved] = True
+        self.kicks += int(len(moved))
+        return placed
+
     def _kick_insert_batch(
         self, i1: np.ndarray, i2: np.ndarray, fp: np.ndarray
     ) -> np.ndarray:
@@ -161,6 +197,10 @@ class CuckooFilter:
         success = np.zeros(n, dtype=bool)
         pending = np.arange(n)
         b = self.config.bucket_size
+        if self.config.eviction_policy == "bfs" and pending.size:
+            placed = self._bfs_relocate(cur, tag)
+            success |= placed
+            pending = pending[~placed]
         while pending.size:
             cp = cur[pending]
             # serialize same-(bucket,slot) evictors: first wins this round
@@ -395,7 +435,12 @@ class CuckooFilter:
         merge order as long as no insert fails (tests assert this
         across random orderings). Generalizes the disjoint multi-GPU
         union (``CuckooFilterMultiGPU.cuh:558-565``)."""
-        if (self.num_buckets, self.config) != (other.num_buckets, other.config):
+        same_geom = (
+            self.num_buckets == other.num_buckets
+            and self.config.bits_per_tag == other.config.bits_per_tag
+            and self.config.bucket_size == other.config.bucket_size
+        )
+        if not same_geom:
             raise ValueError("can only merge filters with identical geometry")
         bi, slot = np.nonzero(other.buckets)
         tags = other.buckets[bi, slot]
@@ -422,7 +467,8 @@ class CuckooFilter:
 
     def to_bytes(self) -> bytes:
         hdr = _HEADER.pack(
-            _MAGIC, self.config.bits_per_tag, 1, self.config.bucket_size,
+            _MAGIC, 1, self.config.bits_per_tag, self.config.bucket_size,
+            _POLICIES.index(self.config.eviction_policy),
             self.num_buckets, self.capacity, self.occupied, self.kicks,
             self.failures, self.inserts,
         )
@@ -430,12 +476,14 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
-        magic, f, ver, b, nb, cap, occ, kicks, fails, inserts = _HEADER.unpack_from(
-            blob
+        magic, ver, f, b, pol, nb, cap, occ, kicks, fails, inserts = (
+            _HEADER.unpack_from(blob)
         )
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad cuckoo filter blob")
-        cfg = CuckooConfig(bits_per_tag=f, bucket_size=b)
+        cfg = CuckooConfig(
+            bits_per_tag=f, bucket_size=b, eviction_policy=_POLICIES[pol]
+        )
         flt = cls.__new__(cls)
         flt.config = cfg
         flt.capacity = cap

@@ -18,8 +18,17 @@ def rand_keys(n, lo=1, hi=2**32, seed=SEED):
     return rng.integers(lo, hi, size=n, dtype=np.uint64)
 
 
-@pytest.fixture(params=[CuckooConfig(16, 4), CuckooConfig(16, 16)],
-                ids=["f16b4", "f16b16"])
+@pytest.fixture(
+    params=[
+        CuckooConfig(16, 4),
+        CuckooConfig(16, 16),
+        CuckooConfig(8, 4),
+        CuckooConfig(32, 4),
+        CuckooConfig(16, 4, eviction_policy="bfs"),
+        CuckooConfig(16, 16, eviction_policy="bfs"),
+    ],
+    ids=["f16b4", "f16b16", "f8b4", "f32b4", "f16b4bfs", "f16b16bfs"],
+)
 def config(request):
     return request.param
 
