@@ -54,6 +54,11 @@ class CuckooConfig:
     #: fallback, CuckooFilter.cuh:967-1018). Does not affect the
     #: stored layout or membership semantics, only insert paths.
     eviction_policy: str = "dfs"
+    #: 'xor' — partial-key XOR displacement, pow2 buckets
+    #: (bucket_policies.cuh:14-84); 'addsub' — two-block add/sub
+    #: displacement, any even bucket count (ASCF paper,
+    #: bucket_policies.cuh:96-182).
+    bucket_policy: str = "xor"
 
     def __post_init__(self) -> None:
         if self.bits_per_tag not in (8, 16, 32):
@@ -63,6 +68,8 @@ class CuckooConfig:
             raise ValueError("bucket_size must be a power of two")
         if self.eviction_policy not in ("dfs", "bfs"):
             raise ValueError("eviction_policy must be 'dfs' or 'bfs'")
+        if self.bucket_policy not in ("xor", "addsub"):
+            raise ValueError("bucket_policy must be 'xor' or 'addsub'")
 
     @property
     def tag_dtype(self) -> np.dtype:
@@ -76,11 +83,16 @@ class CuckooConfig:
         return (1 << self.bits_per_tag) - 1
 
     def num_buckets_for(self, capacity: int) -> int:
-        """Bucket count for a target capacity: next power of two of
-        ceil(capacity / bucket_size) (``bucket_policies.cuh:80-83``).
-        Power-of-two is REQUIRED by the XOR alt-bucket policy.
-        """
-        return next_power_of_two(max(1, -(-capacity // self.bucket_size)))
+        """Bucket count for a target capacity. XOR policy: next power
+        of two of ceil(capacity / bucket_size)
+        (``bucket_policies.cuh:80-83``) — pow2 is REQUIRED by the
+        XOR displacement. AddSub policy: next even count
+        (``bucket_policies.cuh:172-181``) — no pow2 rounding, so
+        memory is within 1 bucket of the request."""
+        required = max(1, -(-capacity // self.bucket_size))
+        if self.bucket_policy == "addsub":
+            return required + (required & 1)
+        return next_power_of_two(required)
 
     def theoretical_fpr(self, load_factor: float) -> float:
         """Published bound ε = 2·b·α / 2^f (reference prints this in

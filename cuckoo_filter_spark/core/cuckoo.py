@@ -47,10 +47,12 @@ from cuckoo_filter_spark.config import EMPTY, FINGERPRINT_SEED, CuckooConfig
 from cuckoo_filter_spark.hashing import xxhash64_u64
 
 _MAGIC = b"CKFS"
-#: magic, version, bits_per_tag, bucket_size, policy, pad,
-#: num_buckets, capacity, occupied, kicks, failures, inserts
-_HEADER = struct.Struct("<4sBBHB7xQQQQQQ")
+#: magic, version, bits_per_tag, bucket_size, eviction policy,
+#: bucket policy, pad, num_buckets, capacity, occupied, kicks,
+#: failures, inserts
+_HEADER = struct.Struct("<4sBBHBB6xQQQQQQ")
 _POLICIES = ("dfs", "bfs")
+_BUCKET_POLICIES = ("xor", "addsub")
 
 
 class CuckooFilter:
@@ -87,24 +89,42 @@ class CuckooFilter:
         """(i1, i2, fp) for each uint64 key.
 
         fp = upper-32-bits & tag_mask, 0 remapped to 1
-        (bucket_policies.cuh:49-53); i1 = lower-32-bits & mask
-        (:56-58); i2 = i1 ^ (h(fp) & mask) (:71-74).
-        """
+        (bucket_policies.cuh:49-53). XOR policy: i1 = lower-32-bits
+        & mask (:56-58), i2 = i1 ^ (h(fp) & mask) (:71-74). AddSub
+        policy: i1 = lower-32-bits % (nb/2), block 0
+        (bucket_policies.cuh:126-143)."""
         h = xxhash64_u64(keys, seed=FINGERPRINT_SEED)
         fp = ((h >> np.uint64(32)) & np.uint64(self.config.tag_mask)).astype(
             self.config.tag_dtype
         )
         fp[fp == EMPTY] = 1
-        i1 = (h & self._mask).astype(np.int64)
+        if self.config.bucket_policy == "xor":
+            i1 = (h & self._mask).astype(np.int64)
+        else:
+            bpb = self.num_buckets // 2
+            i1 = (
+                (h & np.uint64(0xFFFFFFFF)) % np.uint64(bpb)
+            ).astype(np.int64)
         i2 = self.alt_bucket(i1, fp)
         return i1, i2, fp
 
     def alt_bucket(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
-        """i ^ (h(fp) & mask) — self-inverse, so it works from either
-        of the two candidate buckets (bucket_policies.cuh:71-74)."""
-        return (
-            np.asarray(idx, dtype=np.int64)
-            ^ (self._fp_hash(np.asarray(fp)) & self._mask).astype(np.int64)
+        """XOR: i ^ (h(fp) & mask) — self-inverse
+        (bucket_policies.cuh:71-74). AddSub: block 0 adds
+        h(fp) % (nb/2) and moves to block 1, block 1 subtracts and
+        moves back — also an involution (bucket_policies.cuh:
+        156-166)."""
+        idx = np.asarray(idx, dtype=np.int64)
+        if self.config.bucket_policy == "xor":
+            return idx ^ (self._fp_hash(np.asarray(fp)) & self._mask).astype(
+                np.int64
+            )
+        bpb = self.num_buckets // 2
+        d = (self._fp_hash(np.asarray(fp)) % np.uint64(bpb)).astype(np.int64)
+        return np.where(
+            idx < bpb,
+            ((idx + d) % bpb) + bpb,
+            (idx - d) % bpb,
         )
 
     # ------------------------------------------------------------------
@@ -439,6 +459,7 @@ class CuckooFilter:
             self.num_buckets == other.num_buckets
             and self.config.bits_per_tag == other.config.bits_per_tag
             and self.config.bucket_size == other.config.bucket_size
+            and self.config.bucket_policy == other.config.bucket_policy
         )
         if not same_geom:
             raise ValueError("can only merge filters with identical geometry")
@@ -469,6 +490,7 @@ class CuckooFilter:
         hdr = _HEADER.pack(
             _MAGIC, 1, self.config.bits_per_tag, self.config.bucket_size,
             _POLICIES.index(self.config.eviction_policy),
+            _BUCKET_POLICIES.index(self.config.bucket_policy),
             self.num_buckets, self.capacity, self.occupied, self.kicks,
             self.failures, self.inserts,
         )
@@ -476,13 +498,14 @@ class CuckooFilter:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
-        magic, ver, f, b, pol, nb, cap, occ, kicks, fails, inserts = (
+        magic, ver, f, b, pol, bpol, nb, cap, occ, kicks, fails, inserts = (
             _HEADER.unpack_from(blob)
         )
         if magic != _MAGIC or ver != 1:
             raise ValueError("bad cuckoo filter blob")
         cfg = CuckooConfig(
-            bits_per_tag=f, bucket_size=b, eviction_policy=_POLICIES[pol]
+            bits_per_tag=f, bucket_size=b, eviction_policy=_POLICIES[pol],
+            bucket_policy=_BUCKET_POLICIES[bpol],
         )
         flt = cls.__new__(cls)
         flt.config = cfg

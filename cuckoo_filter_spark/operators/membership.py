@@ -196,25 +196,44 @@ class ShardedCuckooFilter:
         cfg = config or CuckooConfig()
         per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
 
-        def build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            flt = CuckooFilter(per_shard_cap, cfg)
-            keys = _keys_from_pdf(pdf, key_col)
-            insert = flt.insert_many_sorted if sorted_insert else flt.insert_many
-            ok = insert(keys)
-            return pd.DataFrame({
-                "shard_id": [key[0]],
-                "blob": [flt.to_bytes()],
-                "rows": [len(keys)],
-                "inserted": [int(ok.sum())],
-                "kicks": [flt.kicks],
-                "failures": [flt.failures],
-            })
+        def build_shards(batches: "Iterator[pd.DataFrame]"):
+            # one partition may hold several shards (hash of the shard
+            # id decides placement); group pandas-side — this avoids
+            # the sort groupBy().applyInPandas() would inject, so the
+            # Exchange is the only data movement.
+            per_shard: dict[int, list[np.ndarray]] = {}
+            for pdf in batches:
+                keys = _keys_from_pdf(pdf, key_col)
+                sids = pdf["__shard"].to_numpy(dtype=np.int64, copy=False)
+                order = np.argsort(sids, kind="stable")
+                sk, ss = keys[order], sids[order]
+                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+                for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ss)]):
+                    per_shard.setdefault(int(ss[b0]), []).append(sk[b0:b1])
+            for sid, chunks in per_shard.items():
+                flt = CuckooFilter(per_shard_cap, cfg)
+                insert = (
+                    flt.insert_many_sorted if sorted_insert else flt.insert_many
+                )
+                rows = 0
+                inserted = 0
+                for chunk in chunks:
+                    rows += len(chunk)
+                    inserted += int(insert(chunk).sum())
+                yield pd.DataFrame({
+                    "shard_id": [sid],
+                    "blob": [flt.to_bytes()],
+                    "rows": [rows],
+                    "inserted": [inserted],
+                    "kicks": [flt.kicks],
+                    "failures": [flt.failures],
+                })
 
         shards = (
-            df.select(F.col(key_col).alias(key_col))
+            df.select(F.col(key_col))
             .withColumn("__shard", shard_expr(key_col, num_shards))
-            .groupBy("__shard")
-            .applyInPandas(build_shard, schema=_SHARD_SCHEMA)
+            .repartition(num_shards, "__shard")
+            .mapInPandas(build_shards, schema=_SHARD_SCHEMA)
         )
         return ShardedCuckooFilter(shards, num_shards, cfg, key_col)
 
@@ -280,10 +299,30 @@ class ShardedCuckooFilter:
         shuffle-routed alternative for filters too big to ship.
         Appends `out_col` to the query DataFrame (all columns kept).
         """
+        if self.config.bucket_policy != "xor":
+            raise NotImplementedError(
+                "stacked-broadcast probing implements XOR addressing; "
+                "use .contains() (shard-routed) for other policies"
+            )
         key_col = key_col or self.key_col
         spark = queries.sparkSession
-        blobs = {r.shard_id: bytes(r.blob) for r in self.shards.collect()}
-        bc = spark.sparkContext.broadcast(blobs)
+        # stack ONCE on the driver: shard s occupies bucket rows
+        # [s*nb, (s+1)*nb). Workers view the broadcast bytes
+        # zero-copy; nothing O(filter-size) happens per task.
+        filters = {
+            r.shard_id: CuckooFilter.from_bytes(bytes(r.blob))
+            for r in self.shards.collect()
+        }
+        any_f = next(iter(filters.values()))
+        nb, bs = any_f.num_buckets, any_f.config.bucket_size
+        tag_mask = any_f.config.tag_mask
+        dtype_name = any_f.buckets.dtype.name
+        big = np.zeros((self.num_shards * nb, bs), dtype=any_f.buckets.dtype)
+        for sid, f in filters.items():
+            if f.num_buckets != nb:
+                raise ValueError("heterogeneous shard geometry")
+            big[sid * nb : (sid + 1) * nb] = f.buckets
+        bc = spark.sparkContext.broadcast(big.tobytes())
         num_shards = self.num_shards
 
         @F.pandas_udf(BooleanType())
@@ -291,32 +330,12 @@ class ShardedCuckooFilter:
             from cuckoo_filter_spark.config import FINGERPRINT_SEED
             from cuckoo_filter_spark.hashing import xxhash64_u64
 
-            state = {}
-
-            def combined():
-                if "big" not in state:
-                    protos = {
-                        sid: CuckooFilter.from_bytes(b)
-                        for sid, b in bc.value.items()
-                    }
-                    any_f = next(iter(protos.values()))
-                    nb, bs = any_f.num_buckets, any_f.config.bucket_size
-                    big = np.zeros(
-                        (num_shards * nb, bs), dtype=any_f.config.tag_dtype
-                    )
-                    for sid, f in protos.items():
-                        if f.num_buckets != nb:
-                            raise ValueError("heterogeneous shard geometry")
-                        big[sid * nb : (sid + 1) * nb] = f.buckets
-                    state["big"] = big
-                    state["nb"] = nb
-                    state["tag_mask"] = any_f.config.tag_mask
-                return state["big"], state["nb"], state["tag_mask"]
-
+            big = np.frombuffer(bc.value, dtype=np.dtype(dtype_name)).reshape(
+                -1, bs
+            )
+            mask = np.uint64(nb - 1)
             for s in batches:
                 keys = s.to_numpy(dtype=np.int64, copy=False).view(np.uint64)
-                big, nb, tag_mask = combined()
-                mask = np.uint64(nb - 1)
                 shard = (
                     xxhash64_u64(keys, seed=42).view(np.int64) % num_shards
                 ).astype(np.int64)

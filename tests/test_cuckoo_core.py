@@ -26,8 +26,11 @@ def rand_keys(n, lo=1, hi=2**32, seed=SEED):
         CuckooConfig(32, 4),
         CuckooConfig(16, 4, eviction_policy="bfs"),
         CuckooConfig(16, 16, eviction_policy="bfs"),
+        CuckooConfig(16, 4, bucket_policy="addsub"),
+        CuckooConfig(16, 16, bucket_policy="addsub"),
     ],
-    ids=["f16b4", "f16b16", "f8b4", "f32b4", "f16b4bfs", "f16b16bfs"],
+    ids=["f16b4", "f16b16", "f8b4", "f32b4", "f16b4bfs", "f16b16bfs",
+         "f16b4addsub", "f16b16addsub"],
 )
 def config(request):
     return request.param

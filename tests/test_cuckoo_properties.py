@@ -18,6 +18,7 @@ cfg_st = st.sampled_from([
     CuckooConfig(8, 4),
     CuckooConfig(16, 16),
     CuckooConfig(16, 4, eviction_policy="bfs"),
+    CuckooConfig(16, 4, bucket_policy="addsub"),
 ])
 
 
