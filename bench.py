@@ -47,7 +47,7 @@ def build_session(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1048576")
         .getOrCreate()
     )
 

@@ -200,11 +200,15 @@ class ShardedCuckooFilter:
             # one partition may hold several shards (hash of the shard
             # id decides placement); group pandas-side — this avoids
             # the sort groupBy().applyInPandas() would inject, so the
-            # Exchange is the only data movement.
+            # Exchange is the only data movement, and it carries ONLY
+            # the 8-byte key: the shard id is recomputed from the key
+            # in numpy (bit-exact with the JVM router).
+            from cuckoo_filter_spark.hashing import xxhash64_u64
+
             per_shard: dict[int, list[np.ndarray]] = {}
             for pdf in batches:
                 keys = _keys_from_pdf(pdf, key_col)
-                sids = pdf["__shard"].to_numpy(dtype=np.int64, copy=False)
+                sids = xxhash64_u64(keys, seed=42).view(np.int64) % num_shards
                 order = np.argsort(sids, kind="stable")
                 sk, ss = keys[order], sids[order]
                 bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
@@ -231,8 +235,7 @@ class ShardedCuckooFilter:
 
         shards = (
             df.select(F.col(key_col))
-            .withColumn("__shard", shard_expr(key_col, num_shards))
-            .repartition(num_shards, "__shard")
+            .repartition(num_shards, shard_expr(key_col, num_shards))
             .mapInPandas(build_shards, schema=_SHARD_SCHEMA)
         )
         return ShardedCuckooFilter(shards, num_shards, cfg, key_col)
