@@ -283,6 +283,19 @@ class CuckooFilter:
         out[order] = self.insert_many(keys[order])
         return out
 
+    #: adaptiveInsert cutoff (reference: 2^29 keys switches to the
+    #: sorted path, benchmark_common.cuh:113-126). In-batch sorting
+    #: pays off when the batch is much larger than cache-resident
+    #: bucket ranges; scaled down for CPU cache sizes.
+    ADAPTIVE_SORT_THRESHOLD = 1 << 21
+
+    def adaptive_insert(self, keys: np.ndarray) -> np.ndarray:
+        """insert_many below the threshold, insert_many_sorted above
+        (adaptiveInsert, ``benchmark_common.cuh:113-126``)."""
+        if len(keys) >= self.ADAPTIVE_SORT_THRESHOLD:
+            return self.insert_many_sorted(keys)
+        return self.insert_many(keys)
+
     # ------------------------------------------------------------------
     # contains
     # ------------------------------------------------------------------

@@ -28,9 +28,13 @@ def run(cpus: int, n_keys: int) -> dict:
     env["SPARK_GRAFT_BENCH_KEYS"] = str(n_keys)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")  # noisy-neighbor robust
+    # HARD-cap the cpu budget: local[N] only limits Spark task slots,
+    # while python workers / JVM service threads would still spread
+    # over all machine cores — taskset makes "N executors" honest.
+    cmd = ["taskset", "-c", f"0-{cpus - 1}",
+           sys.executable, os.path.join(REPO, "bench.py")]
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
