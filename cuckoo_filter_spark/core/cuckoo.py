@@ -61,7 +61,14 @@ class CuckooFilter:
     __slots__ = (
         "config", "capacity", "num_buckets", "_mask",
         "buckets", "fill", "occupied", "kicks", "failures", "inserts",
+        "_alt_tab", "_claim",
     )
+
+    #: hot-path chunk size — keeps per-chunk temporaries L2-resident
+    #: so random filter-array access (latency-bound, parallelizes) is
+    #: the only DRAM traffic; streaming full-batch temporaries
+    #: saturate the memory bus and kill multi-core scaling.
+    CHUNK = 32768
 
     def __init__(self, capacity: int, config: CuckooConfig | None = None):
         self.config = config or CuckooConfig()
@@ -71,11 +78,15 @@ class CuckooFilter:
         self.buckets = np.zeros(
             (self.num_buckets, self.config.bucket_size), dtype=self.config.tag_dtype
         )
-        self.fill = np.zeros(self.num_buckets, dtype=np.int64)
+        # bucket_size <= 127 always, so one byte per bucket keeps the
+        # fill vector 8x smaller in cache than int64
+        self.fill = np.zeros(self.num_buckets, dtype=np.int8)
         self.occupied = 0   # occupancy counter (CuckooFilter.cuh:349-357)
         self.kicks = 0      # eviction count metric
         self.failures = 0   # inserts dropped after max_kicks
         self.inserts = 0    # attempted inserts
+        self._alt_tab = None  # lazy h(fp) displacement table (f<=16)
+        self._claim = None    # lazy per-bucket claim scratch (insert)
 
     # ------------------------------------------------------------------
     # addressing (XorAltBucketPolicy, bucket_policies.cuh:14-84)
@@ -84,6 +95,30 @@ class CuckooFilter:
     def _fp_hash(self, fp: np.ndarray) -> np.ndarray:
         """h(fp) used for the alternate-bucket XOR displacement."""
         return xxhash64_u64(fp.astype(np.uint64), seed=FINGERPRINT_SEED)
+
+    def _displacement(self, fp: np.ndarray) -> np.ndarray:
+        """Alt-bucket displacement per fingerprint: ``h(fp) & mask``
+        (xor policy) or ``h(fp) % (nb/2)`` (addsub), via a
+        precomputed 2^f-entry gather table when f <= 16 — the table
+        is L2-resident (<=512 KB) and replaces a full avalanche hash
+        per probe/insert/delete."""
+        idt = self._index_dtype
+        if self.config.bits_per_tag <= 16:
+            if self._alt_tab is None:
+                all_fp = np.arange(
+                    1 << self.config.bits_per_tag, dtype=np.uint64
+                )
+                h = xxhash64_u64(all_fp, seed=FINGERPRINT_SEED)
+                if self.config.bucket_policy == "xor":
+                    self._alt_tab = (h & self._mask).astype(idt)
+                else:
+                    bpb = self.num_buckets // 2
+                    self._alt_tab = (h % np.uint64(bpb)).astype(idt)
+            return self._alt_tab[fp.astype(np.int64)]
+        h = self._fp_hash(np.asarray(fp))
+        if self.config.bucket_policy == "xor":
+            return (h & self._mask).astype(idt)
+        return (h % np.uint64(self.num_buckets // 2)).astype(idt)
 
     def candidates(self, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(i1, i2, fp) for each uint64 key.
@@ -98,15 +133,22 @@ class CuckooFilter:
             self.config.tag_dtype
         )
         fp[fp == EMPTY] = 1
+        idt = self._index_dtype
         if self.config.bucket_policy == "xor":
-            i1 = (h & self._mask).astype(np.int64)
+            i1 = (h & self._mask).astype(idt)
         else:
             bpb = self.num_buckets // 2
             i1 = (
                 (h & np.uint64(0xFFFFFFFF)) % np.uint64(bpb)
-            ).astype(np.int64)
+            ).astype(idt)
         i2 = self.alt_bucket(i1, fp)
         return i1, i2, fp
+
+    @property
+    def _index_dtype(self):
+        """int32 bucket indices while they fit — halves the sort and
+        gather traffic in the hot paths."""
+        return np.int32 if self.num_buckets <= (1 << 31) else np.int64
 
     def alt_bucket(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
         """XOR: i ^ (h(fp) & mask) — self-inverse
@@ -114,13 +156,13 @@ class CuckooFilter:
         h(fp) % (nb/2) and moves to block 1, block 1 subtracts and
         moves back — also an involution (bucket_policies.cuh:
         156-166)."""
-        idx = np.asarray(idx, dtype=np.int64)
+        idx = np.asarray(idx)
+        if idx.dtype.kind != "i":
+            idx = idx.astype(self._index_dtype)
+        d = self._displacement(np.asarray(fp))
         if self.config.bucket_policy == "xor":
-            return idx ^ (self._fp_hash(np.asarray(fp)) & self._mask).astype(
-                np.int64
-            )
+            return idx ^ d
         bpb = self.num_buckets // 2
-        d = (self._fp_hash(np.asarray(fp)) % np.uint64(bpb)).astype(np.int64)
         return np.where(
             idx < bpb,
             ((idx + d) % bpb) + bpb,
@@ -144,22 +186,37 @@ class CuckooFilter:
         n = len(bucket_idx)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        order = np.argsort(bucket_idx, kind="stable")
-        sb = bucket_idx[order]
-        new_run = np.empty(n, dtype=bool)
-        new_run[0] = True
-        np.not_equal(sb[1:], sb[:-1], out=new_run[1:])
-        run_id = np.cumsum(new_run) - 1
-        run_start = np.flatnonzero(new_run)
-        rank = np.arange(n) - run_start[run_id]
-        avail = self.config.bucket_size - self.fill[sb]
-        ok = rank < avail
-        tgt_b = sb[ok]
-        tgt_s = (self.fill[sb] + rank)[ok]
-        self.buckets[tgt_b, tgt_s] = fp[order][ok]
-        np.add.at(self.fill, tgt_b, 1)
+        b = self.config.bucket_size
+        if self._claim is None:
+            self._claim = np.empty(self.num_buckets, dtype=np.int64)
+        claim = self._claim
         success = np.zeros(n, dtype=bool)
-        success[order[ok]] = True
+        pending = np.arange(n)
+        # claim-scatter: each pass, every pending key scatters its
+        # index into claim[bucket] (last writer wins — the serial
+        # analog of the reference's CAS race) and winners take the
+        # bucket's next free slot; keys whose bucket is already full
+        # fail immediately (inserts never free slots). At most
+        # bucket_size passes; cheaper than any sort-based grouping.
+        for _ in range(b):
+            if not pending.size:
+                break
+            pb = bucket_idx[pending]
+            open_ = self.fill[pb] < b
+            pending = pending[open_]
+            if not pending.size:
+                break
+            pb = pb[open_]
+            idxs = np.arange(len(pending))
+            claim[pb] = idxs
+            winpos = claim[pb] == idxs
+            wins = pending[winpos]
+            wb = pb[winpos]                 # unique buckets
+            f = self.fill[wb].astype(np.intp)
+            self.buckets[wb, f] = fp[wins]
+            self.fill[wb] += 1
+            success[wins] = True
+            pending = pending[~winpos]
         return success
 
     def _bfs_relocate(self, cur: np.ndarray, tags: np.ndarray) -> np.ndarray:
@@ -222,6 +279,15 @@ class CuckooFilter:
             success |= placed
             pending = pending[~placed]
         while pending.size:
+            if pending.size <= 512:
+                # the tail: a handful of long chains would otherwise
+                # cost hundreds of small lock-step numpy rounds —
+                # run each remaining chain to completion scalar-side
+                for j in pending:
+                    success[j] = self._kick_chain_scalar(
+                        int(cur[j]), int(tag[j]), int(kicks_done[j])
+                    )
+                break
             cp = cur[pending]
             # serialize same-(bucket,slot) evictors: first wins this round
             slot = (tag[pending].astype(np.int64) + kicks_done[pending] * 7) & (b - 1)
@@ -249,6 +315,47 @@ class CuckooFilter:
             pending = pending[alive & ~exhausted]
         return success
 
+    def _kick_chain_scalar(self, cur: int, tag: int, kicks_done: int) -> bool:
+        """One full DFS kick chain for a single key (the literal loop
+        of ``CuckooFilter.cuh:917-954``), used for the small residual
+        tail where per-round numpy overhead dominates."""
+        b = self.config.bucket_size
+        bmask = b - 1
+        maxk = self.config.max_kicks
+        buckets = self.buckets
+        fill = self.fill
+        xor_policy = self.config.bucket_policy == "xor"
+        bpb = self.num_buckets // 2
+        tab = None
+        if self.config.bits_per_tag <= 16:
+            self._displacement(np.array([1], dtype=np.uint64))  # build table
+            tab = self._alt_tab
+        k = kicks_done
+        while k < maxk:
+            f = int(fill[cur])
+            if f < b:
+                buckets[cur, f] = tag
+                fill[cur] = f + 1
+                return True
+            slot = (tag + k * 7) & bmask
+            victim = int(buckets[cur, slot])
+            buckets[cur, slot] = tag
+            tag = victim
+            k += 1
+            self.kicks += 1
+            if tab is not None:
+                d = int(tab[tag])
+            else:
+                d = int(self._displacement(np.array([tag], dtype=np.uint64))[0])
+            if xor_policy:
+                cur = cur ^ d
+            elif cur < bpb:
+                cur = ((cur + d) % bpb) + bpb
+            else:
+                cur = (cur - d) % bpb
+        self.failures += 1
+        return False
+
     def insert_many(self, keys: np.ndarray) -> np.ndarray:
         """Batch insert; returns per-key success (multiset semantics —
         duplicates each occupy a slot, ``tests/test_cuckoo_filter.cu:
@@ -259,15 +366,32 @@ class CuckooFilter:
         self.inserts += n
         if n == 0:
             return np.zeros(0, dtype=bool)
-        i1, i2, fp = self.candidates(keys)
-        success = self._place_batch(i1, fp)
-        rem = ~success
-        if rem.any():
-            success[rem] = self._place_batch(i2[rem], fp[rem])
-            rem = ~success
-        if rem.any():
-            idxs = np.flatnonzero(rem)
-            success[idxs] = self._kick_insert_batch(i1[idxs], i2[idxs], fp[idxs])
+        success = np.zeros(n, dtype=bool)
+        resid: list[np.ndarray] = []
+        res_i1: list[np.ndarray] = []
+        res_i2: list[np.ndarray] = []
+        res_fp: list[np.ndarray] = []
+        for lo in range(0, n, self.CHUNK):
+            hi = min(lo + self.CHUNK, n)
+            i1, i2, fp = self.candidates(keys[lo:hi])
+            s = self._place_batch(i1, fp)
+            rem = np.flatnonzero(~s)
+            if rem.size:
+                s2 = self._place_batch(i2[rem], fp[rem])
+                s[rem[s2]] = True
+                stuck = rem[~s2]
+                if stuck.size:
+                    resid.append(stuck + lo)
+                    res_i1.append(i1[stuck])
+                    res_i2.append(i2[stuck])
+                    res_fp.append(fp[stuck])
+            success[lo:hi] = s
+        if resid:
+            idxs = np.concatenate(resid)
+            success[idxs] = self._kick_insert_batch(
+                np.concatenate(res_i1), np.concatenate(res_i2),
+                np.concatenate(res_fp),
+            )
         self.occupied += int(success.sum())
         return success
 
@@ -300,18 +424,63 @@ class CuckooFilter:
     # contains
     # ------------------------------------------------------------------
 
+    def _swar_layout(self):
+        """(words_per_bucket, lane_low_ones, lane_high_bits, lane
+        replicator) when the bucket row is an integer number of
+        64-bit words — the same packing the reference probes with
+        its zero-in-word bithack (``helpers.cuh:78-151``)."""
+        f = self.config.bits_per_tag
+        b = self.config.bucket_size
+        if (b * f) % 64 != 0:
+            return None
+        lanes = 64 // f
+        low = np.uint64(sum(1 << (f * i) for i in range(lanes)))
+        high = np.uint64(sum(1 << (f * i + f - 1) for i in range(lanes)))
+        return (b * f) // 64, low, high
+
+    def _word_view(self) -> np.ndarray:
+        wpb = (self.config.bucket_size * self.config.bits_per_tag) // 64
+        return self.buckets.view(np.uint64).reshape(self.num_buckets, wpb)
+
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         """Batch membership (``CuckooFilter.cuh:518-523,1143-1155``).
-        The (n, bucket_size) equality broadcast replaces the SWAR
-        word probe (``CuckooFilter.cuh:290-346``)."""
+
+        Probe is the reference's SWAR zero-in-word bithack
+        (``CuckooFilter.cuh:290-346``, ``helpers.cuh:78-151``)
+        vectorized over the batch: each 64-bit bucket word is XORed
+        with the lane-replicated fingerprint and matching lanes are
+        detected with ``(x - low) & ~x & high`` — one gathered word
+        + 4 elementwise ops instead of an (n, bucket_size) equality
+        broadcast. Falls back to the broadcast when the bucket row
+        is not word-aligned.
+        """
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
-        if len(keys) == 0:
-            return np.zeros(0, dtype=bool)
-        i1, i2, fp = self.candidates(keys)
-        fpc = fp[:, None]
-        return (self.buckets[i1] == fpc).any(axis=1) | (
-            self.buckets[i2] == fpc
-        ).any(axis=1)
+        n = len(keys)
+        out = np.empty(n, dtype=bool)
+        swar = self._swar_layout()
+        words = self._word_view() if swar else None
+        for lo in range(0, n, self.CHUNK):
+            hi = min(lo + self.CHUNK, n)
+            i1, i2, fp = self.candidates(keys[lo:hi])
+            if swar:
+                wpb, low, high = swar
+                rep = fp.astype(np.uint64) * low
+                hit = None
+                with np.errstate(over="ignore"):
+                    for idx in (i1, i2):
+                        for j in range(wpb):
+                            x = words[idx, j] ^ rep
+                            h = ((x - low) & ~x & high) != 0
+                            hit = h if hit is None else (hit | h)
+                out[lo:hi] = hit
+            else:
+                fpc = fp[:, None]
+                np.logical_or(
+                    (self.buckets[i1] == fpc).any(axis=1),
+                    (self.buckets[i2] == fpc).any(axis=1),
+                    out=out[lo:hi],
+                )
+        return out
 
     # ------------------------------------------------------------------
     # delete
@@ -339,74 +508,67 @@ class CuckooFilter:
         removes up to k instances (``CuckooFilter.cuh:536-548,
         1157-1183``; ``tests/test_cuckoo_filter.cu:324-344``).
 
-        Fast path: keys whose (i1, fp) group is unique in the batch
-        and whose buckets are untouched by other deletions are
-        cleared in one vectorized scatter; the remainder (intra-batch
-        duplicates, bucket collisions, i2-side hits) falls back to a
-        compact per-group loop.
+        Fully vectorized in lock-step rounds: each round picks one
+        representative per pending (i1, fp) group, probes both
+        buckets, and clears one matching slot per touched bucket
+        (first toucher wins; the rest retry next round, exactly the
+        serialization the reference's CAS race performs). A miss is
+        final — removals never add tags to a bucket — so misses
+        retire their key immediately. Duplicate deletes consume one
+        stored instance per round.
         """
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         n = len(keys)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        i1, i2, fp = self.candidates(keys)
         success = np.zeros(n, dtype=bool)
-        packed = (i1.astype(np.uint64) << np.uint64(32)) | fp.astype(np.uint64)
-
-        # --- fast path, in chunks so same-bucket collisions stay rare ---
-        # a chunk entry is handled vectorized iff its (i1, fp) group is
-        # unique within the chunk AND it is the only deletion touching
-        # its bucket this chunk; everything else joins the slow path.
-        chunk = 65536
-        for lo in range(0, n, chunk):
-            sl = slice(lo, min(lo + chunk, n))
-            pk = packed[sl]
-            _, first_idx, counts = np.unique(pk, return_index=True, return_counts=True)
-            solo = first_idx[counts == 1] + lo  # batch-unique (i1, fp)
-            if not solo.size:
-                continue
-            b1, b2 = i1[solo], i2[solo]
-            fpc = fp[solo][:, None]
-            m1 = self.buckets[b1] == fpc
-            has1 = m1.any(axis=1)
-            m2 = self.buckets[b2] == fpc
-            found = has1 | m2.any(axis=1)
-            if not found.any():
-                continue
-            tb = np.where(has1, b1, b2)
-            tslot = np.where(has1, m1.argmax(axis=1), m2.argmax(axis=1))
-            cand = solo[found]
-            cand_b = tb[found]
-            cand_slot = tslot[found]
-            touches = np.bincount(cand_b, minlength=self.num_buckets)
-            keep = touches[cand_b] == 1
-            if keep.any():
-                db, ds = cand_b[keep], cand_slot[keep]
-                lasts = self.fill[db] - 1
-                self.buckets[db, ds] = self.buckets[db, lasts]
-                self.buckets[db, lasts] = EMPTY
-                self.fill[db] = lasts
-                success[cand[keep]] = True
-
-        # --- slow path: everything not yet successful -------------------
-        pending = np.flatnonzero(~success)
-        if pending.size:
-            # group pending deletions by (i1, fp) so duplicate deletes
-            # consume distinct stored instances
-            order = pending[np.argsort(packed[pending], kind="stable")]
-            j = 0
-            while j < len(order):
-                k = j
-                while k < len(order) and packed[order[k]] == packed[order[j]]:
-                    k += 1
-                group = order[j:k]
-                b1g, b2g, fg = int(i1[group[0]]), int(i2[group[0]]), int(fp[group[0]])
-                for g in group:
-                    if self._remove_one(b1g, fg) or self._remove_one(b2g, fg):
-                        success[g] = True
-                    else:
-                        break
-                j = k
+        for clo in range(0, n, self.CHUNK):
+            chi = min(clo + self.CHUNK, n)
+            i1, i2, fp = self.candidates(keys[clo:chi])
+            packed = (i1.astype(np.uint64) << np.uint64(32)) | fp.astype(
+                np.uint64
+            )
+            alive = np.arange(chi - clo)
+            while alive.size:
+                order = np.argsort(packed[alive], kind="stable")
+                sa = alive[order]
+                pk = packed[sa]
+                firsts = np.empty(len(pk), dtype=bool)
+                firsts[0] = True
+                np.not_equal(pk[1:], pk[:-1], out=firsts[1:])
+                reps = sa[firsts]  # first pending instance per group
+                b1, f = i1[reps], fp[reps]
+                m1 = self.buckets[b1] == f[:, None]
+                has1 = m1.any(axis=1)
+                # probe the alternate bucket only for primary misses
+                miss1 = np.flatnonzero(~has1)
+                b2m = i2[reps[miss1]]
+                m2 = self.buckets[b2m] == f[miss1][:, None]
+                has2 = m2.any(axis=1)
+                found = has1.copy()
+                found[miss1] = has2
+                retired = np.zeros(chi - clo, dtype=bool)
+                retired[reps[~found]] = True  # miss is final
+                cand = np.flatnonzero(found)
+                if cand.size:
+                    tb = b1.copy()
+                    tslot = m1.argmax(axis=1)
+                    tb[miss1] = b2m
+                    tslot[miss1[has2]] = m2[has2].argmax(axis=1)
+                    tb = tb[cand]
+                    tslot = tslot[cand]
+                    # one removal per bucket per round
+                    _, first_idx = np.unique(tb, return_index=True)
+                    db = tb[first_idx]
+                    ds = tslot[first_idx]
+                    lasts = self.fill[db].astype(np.intp) - 1
+                    self.buckets[db, ds] = self.buckets[db, lasts]
+                    self.buckets[db, lasts] = EMPTY
+                    self.fill[db] = lasts.astype(np.int8)
+                    winners = reps[cand[first_idx]]
+                    success[clo + winners] = True
+                    retired[winners] = True
+                alive = alive[~retired[alive]]
         removed = int(success.sum())
         self.occupied -= removed
         return success
@@ -531,7 +693,9 @@ class CuckooFilter:
             .copy()
         )
         # prefix-fill invariant holds for all serialized filters
-        flt.fill = np.count_nonzero(flt.buckets, axis=1).astype(np.int64)
+        flt.fill = np.count_nonzero(flt.buckets, axis=1).astype(np.int8)
+        flt._alt_tab = None
+        flt._claim = None
         flt.occupied, flt.kicks, flt.failures, flt.inserts = occ, kicks, fails, inserts
         return flt
 
