@@ -23,6 +23,15 @@ EMPTY = 0
 #: Default xxhash64 seed for fingerprint/bucket derivation.
 FINGERPRINT_SEED = 0x9747B28C
 
+#: Salts for the JVM-parity chained hash family
+#: (``hashing.chained_hash``): H(x, salt) = XXH64(salt, XXH64(x, 42)).
+#: FP_SALT drives fingerprint + primary-bucket bits; DISP_SALT drives
+#: the alternate-bucket displacement. The second avalanche pass
+#: decorrelates both from the seed-42 shard router even though they
+#: share its inner hash.
+FP_SALT = 0xA0761D6478BD642F
+DISP_SALT = 0xE7037ED1A0B428DB
+
 #: Independent seed for shard routing so shard id never correlates
 #: with bucket index / fingerprint bits (SURVEY §2.3: the reference
 #: reuses one hash via ``% numGPUs``; we use a separate seed).

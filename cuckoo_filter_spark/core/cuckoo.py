@@ -43,8 +43,8 @@ from typing import Tuple
 
 import numpy as np
 
-from cuckoo_filter_spark.config import EMPTY, FINGERPRINT_SEED, CuckooConfig
-from cuckoo_filter_spark.hashing import xxhash64_u64
+from cuckoo_filter_spark.config import DISP_SALT, EMPTY, FP_SALT, CuckooConfig
+from cuckoo_filter_spark.hashing import chained_hash, chained_hash_scalar, xxhash64_u64
 
 _MAGIC = b"CKFS"
 #: magic, version, bits_per_tag, bucket_size, eviction policy,
@@ -53,6 +53,52 @@ _MAGIC = b"CKFS"
 _HEADER = struct.Struct("<4sBBHBB6xQQQQQQ")
 _POLICIES = ("dfs", "bfs")
 _BUCKET_POLICIES = ("xor", "addsub")
+
+
+def swar_params(bits_per_tag: int, bucket_size: int):
+    """(words_per_bucket, lane_low_ones, lane_high_bits) when a
+    bucket row is an integer number of 64-bit words; None otherwise.
+    Mirrors the reference's SWAR word layout (``helpers.cuh:78-151``)."""
+    if (bucket_size * bits_per_tag) % 64 != 0:
+        return None
+    f = bits_per_tag
+    lanes = 64 // f
+    low = np.uint64(sum(1 << (f * i) for i in range(lanes)))
+    high = np.uint64(sum(1 << (f * i + f - 1) for i in range(lanes)))
+    return (bucket_size * f) // 64, low, high
+
+
+def probe_rows(
+    buckets: np.ndarray, i1: np.ndarray, i2: np.ndarray, fp: np.ndarray,
+    bits_per_tag: int, out: np.ndarray | None = None,
+) -> np.ndarray:
+    """Membership of ``fp[j]`` in row ``i1[j]`` or ``i2[j]`` of a
+    (N, bucket_size) tag array — SWAR zero-in-word bithack
+    (``CuckooFilter.cuh:290-346``) when the row is word-aligned,
+    equality broadcast otherwise. Shared by the filter's own
+    ``contains_many`` and the stacked-broadcast shard probe."""
+    res = out if out is not None else np.empty(len(fp), dtype=bool)
+    sw = swar_params(bits_per_tag, buckets.shape[1])
+    if sw:
+        wpb, low, high = sw
+        words = buckets.view(np.uint64).reshape(len(buckets), wpb)
+        rep = fp.astype(np.uint64) * low
+        hit = None
+        with np.errstate(over="ignore"):
+            for idx in (i1, i2):
+                for j in range(wpb):
+                    x = words[idx, j] ^ rep
+                    h = ((x - low) & ~x & high) != 0
+                    hit = h if hit is None else (hit | h)
+        res[:] = hit
+    else:
+        fpc = fp[:, None]
+        np.logical_or(
+            (buckets[i1] == fpc).any(axis=1),
+            (buckets[i2] == fpc).any(axis=1),
+            out=res,
+        )
+    return res
 
 
 class CuckooFilter:
@@ -93,8 +139,9 @@ class CuckooFilter:
     # ------------------------------------------------------------------
 
     def _fp_hash(self, fp: np.ndarray) -> np.ndarray:
-        """h(fp) used for the alternate-bucket XOR displacement."""
-        return xxhash64_u64(fp.astype(np.uint64), seed=FINGERPRINT_SEED)
+        """h(fp) used for the alternate-bucket XOR displacement —
+        the chained JVM-parity family (``hashing.chained_hash``)."""
+        return chained_hash(fp.astype(np.uint64), DISP_SALT)
 
     def _displacement(self, fp: np.ndarray) -> np.ndarray:
         """Alt-bucket displacement per fingerprint: ``h(fp) & mask``
@@ -108,7 +155,7 @@ class CuckooFilter:
                 all_fp = np.arange(
                     1 << self.config.bits_per_tag, dtype=np.uint64
                 )
-                h = xxhash64_u64(all_fp, seed=FINGERPRINT_SEED)
+                h = chained_hash(all_fp, DISP_SALT)
                 if self.config.bucket_policy == "xor":
                     self._alt_tab = (h & self._mask).astype(idt)
                 else:
@@ -128,7 +175,7 @@ class CuckooFilter:
         & mask (:56-58), i2 = i1 ^ (h(fp) & mask) (:71-74). AddSub
         policy: i1 = lower-32-bits % (nb/2), block 0
         (bucket_policies.cuh:126-143)."""
-        h = xxhash64_u64(keys, seed=FINGERPRINT_SEED)
+        h = chained_hash(keys, FP_SALT)
         fp = ((h >> np.uint64(32)) & np.uint64(self.config.tag_mask)).astype(
             self.config.tag_dtype
         )
@@ -401,7 +448,7 @@ class CuckooFilter:
         radix sort, ``CuckooFilter.cuh:475-508``). Semantics differ
         only in intra-batch order, which membership can't observe."""
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
-        h = xxhash64_u64(keys, seed=FINGERPRINT_SEED)
+        h = chained_hash(keys, FP_SALT)
         order = np.argsort(h & self._mask, kind="stable")
         out = np.zeros(len(keys), dtype=bool)
         out[order] = self.insert_many(keys[order])
@@ -424,62 +471,24 @@ class CuckooFilter:
     # contains
     # ------------------------------------------------------------------
 
-    def _swar_layout(self):
-        """(words_per_bucket, lane_low_ones, lane_high_bits, lane
-        replicator) when the bucket row is an integer number of
-        64-bit words — the same packing the reference probes with
-        its zero-in-word bithack (``helpers.cuh:78-151``)."""
-        f = self.config.bits_per_tag
-        b = self.config.bucket_size
-        if (b * f) % 64 != 0:
-            return None
-        lanes = 64 // f
-        low = np.uint64(sum(1 << (f * i) for i in range(lanes)))
-        high = np.uint64(sum(1 << (f * i + f - 1) for i in range(lanes)))
-        return (b * f) // 64, low, high
-
-    def _word_view(self) -> np.ndarray:
-        wpb = (self.config.bucket_size * self.config.bits_per_tag) // 64
-        return self.buckets.view(np.uint64).reshape(self.num_buckets, wpb)
-
     def contains_many(self, keys: np.ndarray) -> np.ndarray:
         """Batch membership (``CuckooFilter.cuh:518-523,1143-1155``).
 
         Probe is the reference's SWAR zero-in-word bithack
         (``CuckooFilter.cuh:290-346``, ``helpers.cuh:78-151``)
-        vectorized over the batch: each 64-bit bucket word is XORed
-        with the lane-replicated fingerprint and matching lanes are
-        detected with ``(x - low) & ~x & high`` — one gathered word
-        + 4 elementwise ops instead of an (n, bucket_size) equality
-        broadcast. Falls back to the broadcast when the bucket row
-        is not word-aligned.
+        vectorized over the batch — see :func:`probe_rows` — in
+        cache-resident chunks.
         """
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         n = len(keys)
         out = np.empty(n, dtype=bool)
-        swar = self._swar_layout()
-        words = self._word_view() if swar else None
         for lo in range(0, n, self.CHUNK):
             hi = min(lo + self.CHUNK, n)
             i1, i2, fp = self.candidates(keys[lo:hi])
-            if swar:
-                wpb, low, high = swar
-                rep = fp.astype(np.uint64) * low
-                hit = None
-                with np.errstate(over="ignore"):
-                    for idx in (i1, i2):
-                        for j in range(wpb):
-                            x = words[idx, j] ^ rep
-                            h = ((x - low) & ~x & high) != 0
-                            hit = h if hit is None else (hit | h)
-                out[lo:hi] = hit
-            else:
-                fpc = fp[:, None]
-                np.logical_or(
-                    (self.buckets[i1] == fpc).any(axis=1),
-                    (self.buckets[i2] == fpc).any(axis=1),
-                    out=out[lo:hi],
-                )
+            probe_rows(
+                self.buckets, i1, i2, fp, self.config.bits_per_tag,
+                out=out[lo:hi],
+            )
         return out
 
     # ------------------------------------------------------------------

@@ -85,7 +85,71 @@ def xxhash64_u64(
     return res
 
 
+def xxhash64_const_vseed(
+    value: int, seeds: np.ndarray, out: np.ndarray | None = None
+) -> np.ndarray:
+    """XXH64 of one constant 8-byte value under a VECTOR of seeds —
+    the numpy mirror of Spark's multi-column ``xxhash64(c1, c2)``
+    chaining, where each child is hashed with the running hash as
+    seed. Bit-exact with the JVM (verified in tests)."""
+    s = np.ascontiguousarray(seeds, dtype=np.uint64)
+    n = len(s)
+    res = out if out is not None else np.empty(n, np.uint64)
+    v = np.uint64(value)
+    with np.errstate(over="ignore"):
+        k1 = v * _P2
+        k1 = np.uint64(
+            ((int(k1) << 31 | int(k1) >> 33) & ((1 << 64) - 1))
+        ) * _P1
+        scratch = np.empty(min(n, HASH_CHUNK), np.uint64)
+        for lo in range(0, n, HASH_CHUNK):
+            hi = min(lo + HASH_CHUNK, n)
+            m = hi - lo
+            h = res[lo:hi]
+            t = scratch[:m]
+            np.add(s[lo:hi], _P5 + _U64(8), out=h)
+            h ^= k1
+            np.right_shift(h, _U64(37), out=t)
+            h <<= _U64(27)
+            h |= t                      # rotl(h, 27)
+            h *= _P1
+            h += _P4
+            np.right_shift(h, _U64(33), out=t)
+            h ^= t
+            h *= _P2
+            np.right_shift(h, _U64(29), out=t)
+            h ^= t
+            h *= _P3
+            np.right_shift(h, _U64(32), out=t)
+            h ^= t
+    return res
+
+
+def chained_hash(keys: np.ndarray, salt: int) -> np.ndarray:
+    """The library's fingerprint-family hash:
+    ``XXH64(salt, seed=XXH64(key, 42))`` — exactly Spark's
+    ``F.xxhash64(key_col, F.lit(salt).cast('long'))``, so the same
+    value is computable JVM-side in whole-stage codegen (pure-SQL
+    probes, build-side packing) and numpy-side (the kernel),
+    bit-for-bit."""
+    return xxhash64_const_vseed(salt, xxhash64_u64(keys, seed=42))
+
+
+def chained_hash_expr(col, salt: int):
+    """Spark Column computing :func:`chained_hash` JVM-side."""
+    from pyspark.sql import functions as F
+
+    signed = salt - (1 << 64) if salt >= (1 << 63) else salt
+    return F.xxhash64(col, F.lit(signed).cast("long"))
+
+
 _M64 = (1 << 64) - 1
+
+
+def chained_hash_scalar(key: int, salt: int) -> int:
+    """Python-int mirror of :func:`chained_hash` (kick-chain tail)."""
+    h = xxhash64_u64_scalar(key, 42)
+    return xxhash64_u64_scalar(salt & _M64, h)
 
 
 def xxhash64_u64_scalar(key: int, seed: int = 0) -> int:
@@ -118,6 +182,30 @@ def keys_to_signed(keys_u64: np.ndarray) -> np.ndarray:
 def keys_to_unsigned(keys_i64: np.ndarray) -> np.ndarray:
     """Reinterpret int64 (from Spark) back to uint64."""
     return np.asarray(keys_i64, dtype=np.int64).view(np.uint64)
+
+
+def candidate_exprs(key_col, num_buckets: int, bits_per_tag: int):
+    """Spark Columns (fp, i1, i2) for the XOR bucket policy — the
+    same arithmetic ``CuckooFilter.candidates`` runs in numpy
+    (``bucket_policies.cuh:45-74``), expressed as whole-stage-codegen
+    JVM expressions via the chained hash family. Bit-exact with the
+    kernel (verified in tests), which is what makes pure-SQL probes
+    against python-built filters possible."""
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.config import DISP_SALT, FP_SALT
+
+    mask = num_buckets - 1
+    tag_mask = (1 << bits_per_tag) - 1
+    h = chained_hash_expr(F.col(key_col) if isinstance(key_col, str) else key_col,
+                          FP_SALT)
+    fp_raw = F.shiftrightunsigned(h, 32).bitwiseAND(F.lit(tag_mask))
+    # fp must stay LongType: xxhash64's 4-byte int path differs
+    fp = F.when(fp_raw == 0, F.lit(1)).otherwise(fp_raw).cast("long")
+    i1 = h.bitwiseAND(F.lit(mask))
+    disp = chained_hash_expr(fp, DISP_SALT).bitwiseAND(F.lit(mask))
+    i2 = i1.bitwiseXOR(disp)
+    return fp, i1, i2
 
 
 def content_key_expr(content_col):

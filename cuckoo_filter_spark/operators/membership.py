@@ -49,7 +49,7 @@ from pyspark.sql.types import (
 
 from cuckoo_filter_spark.config import CuckooConfig
 from cuckoo_filter_spark.core.cuckoo import CuckooFilter
-from cuckoo_filter_spark.hashing import keys_to_unsigned
+from cuckoo_filter_spark.hashing import candidate_exprs, keys_to_unsigned
 
 #: per-shard capacity slack for hash imbalance, as in the reference
 #: multi-GPU layer (``CuckooFilterMultiGPU.cuh:337``).
@@ -69,6 +69,75 @@ def _keys_from_pdf(pdf: pd.DataFrame, col: str) -> np.ndarray:
     return keys_to_unsigned(pdf[col].to_numpy(dtype=np.int64, copy=False))
 
 
+def _words_frame(
+    spark: SparkSession, buckets: np.ndarray, bits_per_tag: int
+) -> tuple[DataFrame, int]:
+    """The filter's bucket array as a (bid, w0..w{k-1}) DataFrame of
+    64-bit words — the filter *as a broadcast dimension table*, so a
+    membership probe becomes a broadcast hash join + bit math in
+    whole-stage codegen (no Python, no shuffle)."""
+    b = buckets.shape[1]
+    if (b * bits_per_tag) % 64 != 0:
+        raise NotImplementedError(
+            "SQL probe requires word-aligned buckets (b*f % 64 == 0)"
+        )
+    wpb = (b * bits_per_tag) // 64
+    words = buckets.view(np.uint64).reshape(-1, wpb).view(np.int64)
+    pdf = pd.DataFrame({"bid": np.arange(len(words), dtype=np.int64)})
+    for j in range(wpb):
+        pdf[f"w{j}"] = words[:, j]
+    return spark.createDataFrame(pdf), wpb
+
+
+def _lane_match(wcol, fp_col, bits_per_tag: int):
+    """OR of per-lane tag equality on one 64-bit bucket word — the
+    SQL form of the SWAR probe (``helpers.cuh:78-151``), unrolled to
+    comparisons so long arithmetic never overflows under ANSI mode."""
+    lanes = 64 // bits_per_tag
+    tag_mask = (1 << bits_per_tag) - 1
+    cond = None
+    for lane in range(lanes):
+        c = (
+            F.shiftrightunsigned(wcol, lane * bits_per_tag)
+            .bitwiseAND(F.lit(tag_mask)) == fp_col
+        )
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def _sql_probe(
+    queries: DataFrame, words: DataFrame, wpb: int, b1, b2, fp,
+    bits_per_tag: int, out_col: str,
+) -> DataFrame:
+    """Two broadcast hash joins of the probe set against the
+    filter-words dimension (primary + alternate bucket), then lane
+    matching — fully JVM-side."""
+    p = (
+        queries.withColumn("__fp", fp)
+        .withColumn("__b1", b1)
+        .withColumn("__b2", b2)
+    )
+    w1 = words.select(
+        F.col("bid").alias("__b1"),
+        *[F.col(f"w{j}").alias(f"__x{j}") for j in range(wpb)],
+    )
+    w2 = words.select(
+        F.col("bid").alias("__b2"),
+        *[F.col(f"w{j}").alias(f"__y{j}") for j in range(wpb)],
+    )
+    j = p.join(F.broadcast(w1), "__b1", "left").join(
+        F.broadcast(w2), "__b2", "left"
+    )
+    cond = None
+    for jcol in [f"__x{k}" for k in range(wpb)] + [f"__y{k}" for k in range(wpb)]:
+        c = _lane_match(F.col(jcol), F.col("__fp"), bits_per_tag)
+        cond = c if cond is None else (cond | c)
+    return j.withColumn(out_col, F.coalesce(cond, F.lit(False))).drop(
+        "__fp", "__b1", "__b2",
+        *[f"__x{k}" for k in range(wpb)], *[f"__y{k}" for k in range(wpb)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # merged mode
 # ---------------------------------------------------------------------------
@@ -80,6 +149,7 @@ class DistributedCuckooFilter:
     def __init__(self, filter_: CuckooFilter):
         self.filter = filter_
         self._bc = None
+        self._words = None  # cached (words DataFrame, wpb) for SQL probe
 
     # -- build ----------------------------------------------------------
 
@@ -150,12 +220,40 @@ class DistributedCuckooFilter:
         spark = df.sparkSession
         return df.withColumn(out_col, self.contains_udf(spark)(F.col(key_col)))
 
+    def contains_sql(
+        self, df: DataFrame, key_col: str, out_col: str = "member"
+    ) -> DataFrame:
+        """Pure-JVM membership: the filter is shipped as a broadcast
+        (bid, words) dimension table and probed with two broadcast
+        hash joins + codegen'd bit math — zero Python in the probe
+        path (the fingerprint family is the JVM-parity chained hash,
+        see ``hashing.chained_hash``)."""
+        if self.config.bucket_policy != "xor":
+            raise NotImplementedError("SQL probe implements XOR addressing")
+        spark = df.sparkSession
+        if self._words is None:
+            self._words = _words_frame(
+                spark, self.filter.buckets, self.config.bits_per_tag
+            )
+        words, wpb = self._words
+        fp, i1, i2 = candidate_exprs(
+            key_col, self.filter.num_buckets, self.config.bits_per_tag
+        )
+        return _sql_probe(
+            df, words, wpb, i1, i2, fp, self.config.bits_per_tag, out_col
+        )
+
+    @property
+    def config(self) -> CuckooConfig:
+        return self.filter.config
+
     def delete_local(self, keys_i64: np.ndarray) -> np.ndarray:
         """Driver-side batch delete against the merged filter (the
         merged filter lives on the driver by construction). For
         distributed deletes at scale use :class:`ShardedCuckooFilter`.
-        Invalidates the broadcast blob."""
+        Invalidates the broadcast blob and the SQL words table."""
         self._bc = None
+        self._words = None
         return self.filter.delete_many(keys_to_unsigned(keys_i64))
 
 
@@ -183,6 +281,8 @@ class ShardedCuckooFilter:
     num_shards: int
     config: CuckooConfig
     key_col: str = "key"
+    _stacked: object = None  # cached (broadcast, nb, bs, dtype_name)
+    _words: object = None    # cached (words DF, wpb, nb) for SQL probe
 
     @staticmethod
     def build(
@@ -309,57 +409,124 @@ class ShardedCuckooFilter:
             )
         key_col = key_col or self.key_col
         spark = queries.sparkSession
-        # stack ONCE on the driver: shard s occupies bucket rows
-        # [s*nb, (s+1)*nb). Workers view the broadcast bytes
-        # zero-copy; nothing O(filter-size) happens per task.
-        filters = {
-            r.shard_id: CuckooFilter.from_bytes(bytes(r.blob))
-            for r in self.shards.collect()
-        }
-        any_f = next(iter(filters.values()))
-        nb, bs = any_f.num_buckets, any_f.config.bucket_size
-        tag_mask = any_f.config.tag_mask
-        dtype_name = any_f.buckets.dtype.name
-        big = np.zeros((self.num_shards * nb, bs), dtype=any_f.buckets.dtype)
-        for sid, f in filters.items():
-            if f.num_buckets != nb:
-                raise ValueError("heterogeneous shard geometry")
-            big[sid * nb : (sid + 1) * nb] = f.buckets
-        bc = spark.sparkContext.broadcast(big.tobytes())
+        tag_mask = self.config.tag_mask
+        if self._stacked is None:
+            # stack ONCE on the driver: shard s occupies bucket rows
+            # [s*nb, (s+1)*nb). Workers view the broadcast bytes
+            # zero-copy; nothing O(filter-size) happens per task.
+            # Cached on the instance — shards are immutable (delete
+            # returns a NEW ShardedCuckooFilter).
+            filters = {
+                r.shard_id: CuckooFilter.from_bytes(bytes(r.blob))
+                for r in self.shards.collect()
+            }
+            any_f = next(iter(filters.values()))
+            nb, bs = any_f.num_buckets, any_f.config.bucket_size
+            dtype_name = any_f.buckets.dtype.name
+            big = np.zeros(
+                (self.num_shards * nb, bs), dtype=any_f.buckets.dtype
+            )
+            for sid, f in filters.items():
+                if f.num_buckets != nb:
+                    raise ValueError("heterogeneous shard geometry")
+                big[sid * nb : (sid + 1) * nb] = f.buckets
+            object.__setattr__(
+                self, "_stacked",
+                (spark.sparkContext.broadcast(big.tobytes()), nb, bs,
+                 dtype_name),
+            )
+        bc, nb, bs, dtype_name = self._stacked
         num_shards = self.num_shards
+
+        bits = self.config.bits_per_tag
 
         @F.pandas_udf(BooleanType())
         def member(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            from cuckoo_filter_spark.config import FINGERPRINT_SEED
-            from cuckoo_filter_spark.hashing import xxhash64_u64
+            from cuckoo_filter_spark.config import DISP_SALT, FP_SALT
+            from cuckoo_filter_spark.core.cuckoo import CuckooFilter, probe_rows
+            from cuckoo_filter_spark.hashing import (
+                chained_hash, xxhash64_u64, xxhash64_const_vseed,
+            )
 
             big = np.frombuffer(bc.value, dtype=np.dtype(dtype_name)).reshape(
                 -1, bs
             )
             mask = np.uint64(nb - 1)
+            # L2-resident alt-displacement table (h(fp) & mask)
+            alt_tab = None
+            if bits <= 16:
+                all_fp = np.arange(1 << bits, dtype=np.uint64)
+                alt_tab = (chained_hash(all_fp, DISP_SALT) & mask).astype(
+                    np.int64
+                )
+            CH = CuckooFilter.CHUNK
             for s in batches:
                 keys = s.to_numpy(dtype=np.int64, copy=False).view(np.uint64)
-                shard = (
-                    xxhash64_u64(keys, seed=42).view(np.int64) % num_shards
-                ).astype(np.int64)
-                h = xxhash64_u64(keys, seed=FINGERPRINT_SEED)
-                fp = ((h >> np.uint64(32)) & np.uint64(tag_mask)).astype(
-                    big.dtype
-                )
-                fp[fp == 0] = 1
-                i1 = (h & mask).astype(np.int64)
-                alt = (
-                    xxhash64_u64(fp.astype(np.uint64), seed=FINGERPRINT_SEED)
-                    & mask
-                ).astype(np.int64)
-                base = shard * nb
-                fpc = fp[:, None]
-                res = (big[base + i1] == fpc).any(axis=1) | (
-                    big[base + (i1 ^ alt)] == fpc
-                ).any(axis=1)
+                n = len(keys)
+                res = np.empty(n, dtype=bool)
+                for lo in range(0, n, CH):
+                    kc = keys[lo:lo + CH]
+                    hr = xxhash64_u64(kc, seed=42)  # router hash
+                    shard = (hr.view(np.int64) % num_shards).astype(np.int64)
+                    h = xxhash64_const_vseed(FP_SALT, hr)
+                    fp = ((h >> np.uint64(32)) & np.uint64(tag_mask)).astype(
+                        big.dtype
+                    )
+                    fp[fp == 0] = 1
+                    i1 = (h & mask).astype(np.int64)
+                    if alt_tab is not None:
+                        alt = alt_tab[fp.astype(np.int64)]
+                    else:
+                        alt = (
+                            chained_hash(fp.astype(np.uint64), DISP_SALT)
+                            & mask
+                        ).astype(np.int64)
+                    base = shard * nb
+                    probe_rows(
+                        big, base + i1, base + (i1 ^ alt), fp, bits,
+                        out=res[lo:lo + len(kc)],
+                    )
                 yield pd.Series(res)
 
         return queries.withColumn(out_col, member(F.col(key_col)))
+
+    def contains_sql(
+        self, queries: DataFrame, key_col: str | None = None,
+        out_col: str = "member",
+    ) -> DataFrame:
+        """Pure-JVM membership against the stacked shard words table:
+        bucket id = shard * nb + i1 (shard from the seed-42 router,
+        candidates from the chained family — all codegen
+        expressions), probed with two broadcast hash joins. Zero
+        Python and zero shuffle in the probe path."""
+        if self.config.bucket_policy != "xor":
+            raise NotImplementedError("SQL probe implements XOR addressing")
+        key_col = key_col or self.key_col
+        spark = queries.sparkSession
+        if getattr(self, "_words", None) is None:
+            filters = {
+                r.shard_id: CuckooFilter.from_bytes(bytes(r.blob))
+                for r in self.shards.collect()
+            }
+            any_f = next(iter(filters.values()))
+            nb = any_f.num_buckets
+            big = np.zeros(
+                (self.num_shards * nb, any_f.config.bucket_size),
+                dtype=any_f.buckets.dtype,
+            )
+            for sid, f in filters.items():
+                big[sid * nb : (sid + 1) * nb] = f.buckets
+            object.__setattr__(
+                self, "_words",
+                (*_words_frame(spark, big, self.config.bits_per_tag), nb),
+            )
+        words, wpb, nb = self._words
+        fp, i1, i2 = candidate_exprs(key_col, nb, self.config.bits_per_tag)
+        base = shard_expr(key_col, self.num_shards) * nb
+        return _sql_probe(
+            queries, words, wpb, base + i1, base + i2, fp,
+            self.config.bits_per_tag, out_col,
+        )
 
     def delete(self, deletes: DataFrame) -> tuple[DataFrame, "ShardedCuckooFilter"]:
         """Batched delete. Returns (per-key success DF, new filter).

@@ -1,0 +1,94 @@
+"""JVM↔numpy parity of the chained hash family and the pure-SQL
+membership probe (filter-as-broadcast-dimension + codegen bit math).
+
+The whole design rests on bit-exactness between
+``hashing.chained_hash`` (numpy) and ``F.xxhash64(col, lit(salt))``
+(JVM), so these tests are the contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.config import DISP_SALT, FP_SALT, CuckooConfig
+from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+from cuckoo_filter_spark.hashing import (
+    candidate_exprs, chained_hash, chained_hash_expr, chained_hash_scalar,
+    keys_to_unsigned,
+)
+from cuckoo_filter_spark.operators.membership import (
+    DistributedCuckooFilter, ShardedCuckooFilter,
+)
+
+CFG = CuckooConfig(bits_per_tag=16, bucket_size=4)
+
+
+@pytest.fixture(scope="module")
+def keys_df(spark):
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(2**62), 2**62, 4096, dtype=np.int64)
+    return spark.createDataFrame(
+        [(int(k),) for k in keys], "key long"
+    ), keys
+
+
+def test_chained_hash_jvm_parity(spark, keys_df):
+    df, keys = keys_df
+    for salt in (FP_SALT, DISP_SALT, 12345):
+        got = np.array(
+            [r.h for r in df.select(
+                chained_hash_expr(F.col("key"), salt).alias("h")
+            ).collect()],
+            dtype=np.int64,
+        )
+        # rows may come back in order (single partition createDataFrame)
+        want = chained_hash(keys_to_unsigned(keys), salt).view(np.int64)
+        assert np.array_equal(np.sort(got), np.sort(want))
+
+
+def test_chained_hash_scalar_matches_vector():
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 2**64, 64, dtype=np.uint64)
+    vec = chained_hash(keys, DISP_SALT)
+    for k, v in zip(keys, vec):
+        assert chained_hash_scalar(int(k), DISP_SALT) == int(v)
+
+
+def test_candidate_exprs_match_kernel(spark, keys_df):
+    df, keys = keys_df
+    flt = CuckooFilter(4096, CFG)
+    i1n, i2n, fpn = flt.candidates(keys_to_unsigned(keys))
+    fp, i1, i2 = candidate_exprs("key", flt.num_buckets, CFG.bits_per_tag)
+    rows = df.select(
+        "key", fp.alias("fp"), i1.alias("i1"), i2.alias("i2")
+    ).collect()
+    by_key = {r.key: (r.fp, r.i1, r.i2) for r in rows}
+    for k, a, b, c in zip(keys, fpn, i1n, i2n):
+        assert by_key[int(k)] == (int(a), int(b), int(c))
+
+
+def test_contains_sql_merged(spark, keys_df):
+    df, keys = keys_df
+    filt = DistributedCuckooFilter.build(df, "key", 6000, CFG)
+    out = filt.contains_sql(df, "key")
+    assert out.filter(~F.col("member")).count() == 0  # zero false negatives
+    # parity with the pandas-UDF broadcast path on mixed probes
+    probes = df.unionByName(
+        spark.range(4096).select((F.col("id") + 2**40).alias("key"))
+    )
+    sql_res = {r.key: r.member for r in filt.contains_sql(probes, "key").collect()}
+    udf_res = {r.key: r.member for r in filt.contains(probes, "key").collect()}
+    assert sql_res == udf_res
+
+
+def test_contains_sql_sharded(spark, keys_df):
+    df, keys = keys_df
+    sh = ShardedCuckooFilter.build(df, "key", 6000, 8, CFG).persist()
+    probes = df.unionByName(
+        spark.range(4096).select((F.col("id") + 2**41).alias("key"))
+    )
+    sql_res = {r.key: r.member for r in sh.contains_sql(probes).collect()}
+    bc_res = {
+        r.key: r.member for r in sh.contains_broadcast(probes, "key").collect()
+    }
+    assert sql_res == bc_res
+    assert all(sql_res[int(k)] for k in keys)  # zero false negatives
