@@ -409,7 +409,26 @@ class CuckooFilter:
         147-170``). Mirrors insertMany → insertKernel
         (``CuckooFilter.cuh:457-464,1119-1141``)."""
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
-        n = len(keys)
+        return self._insert_chunked(len(keys), lambda lo, hi: self.candidates(keys[lo:hi]))
+
+    def insert_packed(self, packed: np.ndarray) -> np.ndarray:
+        """Insert from JVM-packed ``(i1 << bits_per_tag) | fp`` values
+        (the pack-kernel layout of ``insertManySorted``,
+        ``CuckooFilter.cuh:1185-1207``): the hashing already happened
+        in whole-stage codegen, so the Python side is placement only."""
+        packed = np.ascontiguousarray(packed, dtype=np.int64)
+        f = self.config.bits_per_tag
+        tag_mask = self.config.tag_mask
+
+        def cand(lo, hi):
+            pc = packed[lo:hi]
+            fp = (pc & tag_mask).astype(self.config.tag_dtype)
+            i1 = (pc >> f).astype(self._index_dtype)
+            return i1, self.alt_bucket(i1, fp), fp
+
+        return self._insert_chunked(len(packed), cand)
+
+    def _insert_chunked(self, n: int, cand) -> np.ndarray:
         self.inserts += n
         if n == 0:
             return np.zeros(0, dtype=bool)
@@ -420,7 +439,7 @@ class CuckooFilter:
         res_fp: list[np.ndarray] = []
         for lo in range(0, n, self.CHUNK):
             hi = min(lo + self.CHUNK, n)
-            i1, i2, fp = self.candidates(keys[lo:hi])
+            i1, i2, fp = cand(lo, hi)
             s = self._place_batch(i1, fp)
             rem = np.flatnonzero(~s)
             if rem.size:

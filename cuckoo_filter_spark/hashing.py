@@ -208,6 +208,18 @@ def candidate_exprs(key_col, num_buckets: int, bits_per_tag: int):
     return fp, i1, i2
 
 
+def packed_expr(key_col, num_buckets: int, bits_per_tag: int):
+    """Spark Column packing ``(i1 << bits_per_tag) | fp`` — the
+    JVM-side analog of the reference's pack kernel
+    (``CuckooFilter.cuh:1185-1207``). Consumed by
+    ``CuckooFilter.insert_packed`` so shard builds ship pre-hashed
+    candidates instead of raw keys."""
+    from pyspark.sql import functions as F
+
+    fp, i1, _ = candidate_exprs(key_col, num_buckets, bits_per_tag)
+    return F.shiftleft(i1, bits_per_tag).bitwiseOR(fp)
+
+
 def content_key_expr(content_col):
     """Spark Column: int64 whose 64 bits equal
     uint64(first 16 hex chars of sha256(content)).

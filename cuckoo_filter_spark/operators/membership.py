@@ -292,9 +292,14 @@ class ShardedCuckooFilter:
         num_shards: int,
         config: Optional[CuckooConfig] = None,
         sorted_insert: bool = False,
+        jvm_pack: bool = True,
     ) -> "ShardedCuckooFilter":
         cfg = config or CuckooConfig()
         per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+        if jvm_pack and cfg.bucket_policy == "xor" and not sorted_insert:
+            return ShardedCuckooFilter._build_packed(
+                df, key_col, num_shards, cfg, per_shard_cap
+            )
 
         def build_shards(batches: "Iterator[pd.DataFrame]"):
             # one partition may hold several shards (hash of the shard
@@ -336,6 +341,57 @@ class ShardedCuckooFilter:
         shards = (
             df.select(F.col(key_col))
             .repartition(num_shards, shard_expr(key_col, num_shards))
+            .mapInPandas(build_shards, schema=_SHARD_SCHEMA)
+        )
+        return ShardedCuckooFilter(shards, num_shards, cfg, key_col)
+
+    @staticmethod
+    def _build_packed(
+        df: DataFrame, key_col: str, num_shards: int, cfg: CuckooConfig,
+        per_shard_cap: int,
+    ) -> "ShardedCuckooFilter":
+        """Build variant where the whole hash chain runs JVM-side:
+        the Exchange carries ``(shard, (i1 << f) | fp)`` — the
+        reference's pack-kernel layout
+        (``CuckooFilter.cuh:1185-1207``) — and the Python stage is
+        pure placement (``insert_packed``). Same filters bit-for-bit
+        as the key-shipping build (chained hash family parity)."""
+        from cuckoo_filter_spark.hashing import packed_expr
+
+        nb = cfg.num_buckets_for(per_shard_cap)
+
+        def build_shards(batches: "Iterator[pd.DataFrame]"):
+            per_shard: dict[int, list[np.ndarray]] = {}
+            for pdf in batches:
+                sids = pdf["__shard"].to_numpy(np.int64, copy=False)
+                packed = pdf["__packed"].to_numpy(np.int64, copy=False)
+                order = np.argsort(sids, kind="stable")
+                sp, ss = packed[order], sids[order]
+                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+                for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ss)]):
+                    per_shard.setdefault(int(ss[b0]), []).append(sp[b0:b1])
+            for sid, chunks in per_shard.items():
+                flt = CuckooFilter(per_shard_cap, cfg)
+                rows = 0
+                inserted = 0
+                for chunk in chunks:
+                    rows += len(chunk)
+                    inserted += int(flt.insert_packed(chunk).sum())
+                yield pd.DataFrame({
+                    "shard_id": [sid],
+                    "blob": [flt.to_bytes()],
+                    "rows": [rows],
+                    "inserted": [inserted],
+                    "kicks": [flt.kicks],
+                    "failures": [flt.failures],
+                })
+
+        shards = (
+            df.select(
+                shard_expr(key_col, num_shards).alias("__shard"),
+                packed_expr(key_col, nb, cfg.bits_per_tag).alias("__packed"),
+            )
+            .repartition(num_shards, "__shard")
             .mapInPandas(build_shards, schema=_SHARD_SCHEMA)
         )
         return ShardedCuckooFilter(shards, num_shards, cfg, key_col)

@@ -80,6 +80,17 @@ def test_contains_sql_merged(spark, keys_df):
     assert sql_res == udf_res
 
 
+def test_packed_build_matches_key_build(spark, keys_df):
+    df, keys = keys_df
+    a = ShardedCuckooFilter.build(df, "key", 6000, 8, CFG, jvm_pack=True)
+    b = ShardedCuckooFilter.build(df, "key", 6000, 8, CFG, jvm_pack=False)
+    blobs_a = {r.shard_id: (bytes(r.blob), r.rows, r.inserted)
+               for r in a.shards.collect()}
+    blobs_b = {r.shard_id: (bytes(r.blob), r.rows, r.inserted)
+               for r in b.shards.collect()}
+    assert blobs_a == blobs_b  # bit-identical filters
+
+
 def test_contains_sql_sharded(spark, keys_df):
     df, keys = keys_df
     sh = ShardedCuckooFilter.build(df, "key", 6000, 8, CFG).persist()
