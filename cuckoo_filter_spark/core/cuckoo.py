@@ -546,13 +546,49 @@ class CuckooFilter:
         stored instance per round.
         """
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
-        n = len(keys)
+        return self._delete_chunked(
+            len(keys), lambda lo, hi: self.candidates(keys[lo:hi])
+        )
+
+    def delete_packed(self, packed_vals: np.ndarray) -> np.ndarray:
+        """Delete from JVM-packed ``(i1 << bits_per_tag) | fp`` values
+        (see :meth:`insert_packed`) — hashing stays in codegen."""
+        packed_vals = np.ascontiguousarray(packed_vals, dtype=np.int64)
+        f = self.config.bits_per_tag
+        tag_mask = self.config.tag_mask
+
+        def cand(lo, hi):
+            pc = packed_vals[lo:hi]
+            fp = (pc & tag_mask).astype(self.config.tag_dtype)
+            i1 = (pc >> f).astype(self._index_dtype)
+            return i1, self.alt_bucket(i1, fp), fp
+
+        return self._delete_chunked(len(packed_vals), cand)
+
+    def contains_packed(self, packed_vals: np.ndarray) -> np.ndarray:
+        """Membership from JVM-packed ``(i1 << bits_per_tag) | fp``."""
+        packed_vals = np.ascontiguousarray(packed_vals, dtype=np.int64)
+        f = self.config.bits_per_tag
+        tag_mask = self.config.tag_mask
+        n = len(packed_vals)
+        out = np.empty(n, dtype=bool)
+        for lo in range(0, n, self.CHUNK):
+            pc = packed_vals[lo:min(lo + self.CHUNK, n)]
+            fp = (pc & tag_mask).astype(self.config.tag_dtype)
+            i1 = (pc >> f).astype(self._index_dtype)
+            probe_rows(
+                self.buckets, i1, self.alt_bucket(i1, fp), fp,
+                self.config.bits_per_tag, out=out[lo:lo + len(pc)],
+            )
+        return out
+
+    def _delete_chunked(self, n: int, cand) -> np.ndarray:
         if n == 0:
             return np.zeros(0, dtype=bool)
         success = np.zeros(n, dtype=bool)
         for clo in range(0, n, self.CHUNK):
             chi = min(clo + self.CHUNK, n)
-            i1, i2, fp = self.candidates(keys[clo:chi])
+            i1, i2, fp = cand(clo, chi)
             packed = (i1.astype(np.uint64) << np.uint64(32)) | fp.astype(
                 np.uint64
             )

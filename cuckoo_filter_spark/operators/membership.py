@@ -281,6 +281,10 @@ class ShardedCuckooFilter:
     num_shards: int
     config: CuckooConfig
     key_col: str = "key"
+    #: per-shard bucket count (known at build time); enables JVM-side
+    #: candidate packing for routed ops. None for externally loaded
+    #: shard sets.
+    shard_num_buckets: Optional[int] = None
     _stacked: object = None  # cached (broadcast, nb, bs, dtype_name)
     _words: object = None    # cached (words DF, wpb, nb) for SQL probe
 
@@ -343,7 +347,10 @@ class ShardedCuckooFilter:
             .repartition(num_shards, shard_expr(key_col, num_shards))
             .mapInPandas(build_shards, schema=_SHARD_SCHEMA)
         )
-        return ShardedCuckooFilter(shards, num_shards, cfg, key_col)
+        return ShardedCuckooFilter(
+            shards, num_shards, cfg, key_col,
+            shard_num_buckets=cfg.num_buckets_for(per_shard_cap),
+        )
 
     @staticmethod
     def _build_packed(
@@ -394,7 +401,9 @@ class ShardedCuckooFilter:
             .repartition(num_shards, "__shard")
             .mapInPandas(build_shards, schema=_SHARD_SCHEMA)
         )
-        return ShardedCuckooFilter(shards, num_shards, cfg, key_col)
+        return ShardedCuckooFilter(
+            shards, num_shards, cfg, key_col, shard_num_buckets=nb
+        )
 
     def persist(self) -> "ShardedCuckooFilter":
         self.shards = self.shards.persist()
@@ -412,6 +421,10 @@ class ShardedCuckooFilter:
         relational)."""
         key_col = self.key_col
         cfg = self.config
+        packed = (
+            self.shard_num_buckets is not None
+            and cfg.bucket_policy == "xor"
+        )
 
         out_schema = StructType(
             [StructField(key_col, LongType()), StructField(out_col, BooleanType())]
@@ -422,15 +435,29 @@ class ShardedCuckooFilter:
                 return pd.DataFrame({key_col: [], out_col: []}).astype(
                     {key_col: "int64", out_col: "bool"}
                 )
-            keys = _keys_from_pdf(left, key_col)
             if len(right) == 0:
-                res = np.zeros(len(keys), dtype=bool)
+                res = np.zeros(len(left), dtype=bool)
             else:
                 flt = CuckooFilter.from_bytes(right["blob"].iloc[0])
-                res = getattr(flt, op)(keys)
+                if packed:
+                    res = getattr(flt, op + "_packed")(
+                        left["__packed"].to_numpy(np.int64, copy=False)
+                    )
+                else:
+                    res = getattr(flt, op + "_many")(
+                        _keys_from_pdf(left, key_col)
+                    )
             return pd.DataFrame({key_col: left[key_col].to_numpy(), out_col: res})
 
-        routed = queries.select(key_col).withColumn(
+        routed = queries.select(key_col)
+        if packed:
+            from cuckoo_filter_spark.hashing import packed_expr
+
+            routed = routed.withColumn(
+                "__packed",
+                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag),
+            )
+        routed = routed.withColumn(
             "__shard", shard_expr(key_col, self.num_shards)
         )
         return (
@@ -441,7 +468,7 @@ class ShardedCuckooFilter:
 
     def contains(self, queries: DataFrame, out_col: str = "member") -> DataFrame:
         """Batched membership, shard-routed (returns key → bool)."""
-        return self._routed(queries, "contains_many", out_col)
+        return self._routed(queries, "contains", out_col)
 
     def contains_broadcast(
         self, queries: DataFrame, key_col: str | None = None,
@@ -606,14 +633,23 @@ class ShardedCuckooFilter:
             StructField("failures", LongType()),
         ])
 
+        packed = (
+            self.shard_num_buckets is not None
+            and cfg.bucket_policy == "xor"
+        )
+
         def apply_delete(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             shard_id = int(key[0])
             frames = []
             if len(right):
                 flt = CuckooFilter.from_bytes(right["blob"].iloc[0])
                 if len(left):
-                    keys = _keys_from_pdf(left, key_col)
-                    ok = flt.delete_many(keys)
+                    if packed:
+                        ok = flt.delete_packed(
+                            left["__packed"].to_numpy(np.int64, copy=False)
+                        )
+                    else:
+                        ok = flt.delete_many(_keys_from_pdf(left, key_col))
                     frames.append(pd.DataFrame({
                         "shard_id": shard_id, key_col: left[key_col].to_numpy(),
                         "ok": ok, "blob": None, "rows": None, "inserted": None,
@@ -634,8 +670,16 @@ class ShardedCuckooFilter:
                 }))
             return pd.concat(frames, ignore_index=True)
 
+        routed = deletes.select(key_col)
+        if packed:
+            from cuckoo_filter_spark.hashing import packed_expr
+
+            routed = routed.withColumn(
+                "__packed",
+                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag),
+            )
         merged = (
-            deletes.select(key_col)
+            routed
             .withColumn("__shard", shard_expr(key_col, self.num_shards))
             .groupBy("__shard")
             .cogroup(self.shards.groupBy(F.col("shard_id").alias("__shard")))
@@ -646,9 +690,18 @@ class ShardedCuckooFilter:
         new_shards = merged.filter(F.col("blob").isNotNull()).select(
             "shard_id", "blob", "rows", "inserted", "kicks", "failures"
         )
-        return results, ShardedCuckooFilter(
-            new_shards, self.num_shards, cfg, key_col
-        )
+        out = ShardedCuckooFilter(new_shards, self.num_shards, cfg, key_col)
+        out._delete_src = merged  # release() drops the persisted plan
+        return results, out
+
+    def release(self) -> None:
+        """Unpersist the cached delete plan backing this filter (if
+        any). Call when a filter produced by :meth:`delete` is no
+        longer needed."""
+        src = getattr(self, "_delete_src", None)
+        if src is not None:
+            src.unpersist()
+            self._delete_src = None
 
     # -- aggregates (CuckooFilterMultiGPU.cuh:520-592) --------------------
 

@@ -27,7 +27,7 @@ def run(cpus: int, n_keys: int) -> dict:
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_KEYS"] = str(n_keys)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    env.setdefault("SPARK_GRAFT_BENCH_REPS", "3")  # noisy-neighbor robust
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "4")  # noisy-neighbor robust
     # HARD-cap the cpu budget: local[N] only limits Spark task slots,
     # while python workers / JVM service threads would still spread
     # over all machine cores — taskset makes "N executors" honest.
