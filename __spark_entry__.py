@@ -173,6 +173,38 @@ def q_cuckoo_shard_metrics(spark, sf_dir):
     )
 
 
+def q_offset_policy_contains(spark, sf_dir):
+    """OffsetAltBucketPolicy parity (choice-bit fp, exact non-pow2
+    bucket count, bucket_policies.cuh:190-351): zero false negatives
+    on inserted document keys."""
+    from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+    rows = _docs(spark, sf_dir).select("doc_id", "key").collect()
+    keys = keys_to_unsigned(np.array([r.key for r in rows], dtype=np.int64))
+    flt = OffsetCuckooFilter(_capacity(len(keys)))
+    inserted = flt.insert_many(keys)
+    member = flt.contains_many(keys)
+    return spark.createDataFrame(
+        [(int(r.doc_id), bool(i and m))
+         for r, i, m in zip(rows, inserted, member)],
+        "doc_id long, member boolean",
+    )
+
+
+def q_addsub_policy_contains(spark, sf_dir):
+    """AddSubAltBucketPolicy (two-block displacement, non-pow2 even
+    bucket counts, bucket_policies.cuh:96-182) through the
+    shard-routed distributed path."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    cfg = CuckooConfig(bits_per_tag=16, bucket_size=4, bucket_policy="addsub")
+    filt = ShardedCuckooFilter.build(docs, "key", _capacity(n), 8, cfg)
+    out = filt.contains(docs.select("key").distinct())
+    return out.join(docs.select("doc_id", "key"), "key").select(
+        "doc_id", "member"
+    )
+
+
 def q_hll_distinct_documents(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     hll = aggregate_sketch(docs, "key", lambda: HyperLogLog(14))
@@ -420,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_delete_requery": q_cuckoo_delete_requery,
         "cuckoo_merge_associativity": q_cuckoo_merge_associativity,
         "cuckoo_shard_metrics": q_cuckoo_shard_metrics,
+        "offset_policy_contains": q_offset_policy_contains,
+        "addsub_policy_contains": q_addsub_policy_contains,
         "hll_distinct_documents": q_hll_distinct_documents,
         "hll_per_lang": q_hll_per_lang,
         "bloom_customer_orders": q_bloom_customer_orders,
@@ -502,6 +536,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS failures, CAST(8 AS BIGINT) AS num_shards
             FROM documents
         """,
+        "offset_policy_contains":
+            "SELECT doc_id, TRUE AS member FROM documents",
+        "addsub_policy_contains":
+            "SELECT doc_id, TRUE AS member FROM documents",
         "hll_distinct_documents":
             "SELECT count(DISTINCT text) AS exact_distinct, TRUE AS hll_ok "
             "FROM documents",

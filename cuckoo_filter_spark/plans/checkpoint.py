@@ -27,21 +27,28 @@ from cuckoo_filter_spark.operators.membership import (
 )
 
 
-def _lineage(num_shards: int, config: CuckooConfig, input_desc: str) -> str:
+def _lineage(
+    num_shards: int, config: CuckooConfig, input_desc: str,
+    shard_num_buckets: int | None = None,
+) -> str:
     return json.dumps({
         "router": "xxhash64_seed42_pmod",
+        "hash_family": "chained_xxh64_v2",  # hashing.chained_hash
         "num_shards": num_shards,
         "bits_per_tag": config.bits_per_tag,
         "bucket_size": config.bucket_size,
+        "shard_num_buckets": shard_num_buckets,
         "input": input_desc,
-        "version": 1,
+        "version": 2,
     }, sort_keys=True)
 
 
 def write_checkpoint(
     filt: ShardedCuckooFilter, path: str, input_desc: str = ""
 ) -> None:
-    lineage = _lineage(filt.num_shards, filt.config, input_desc)
+    lineage = _lineage(
+        filt.num_shards, filt.config, input_desc, filt.shard_num_buckets
+    )
     (
         filt.shards.withColumn("lineage", F.lit(lineage))
         .repartition(1)
@@ -75,7 +82,12 @@ def build_resumable(
     the filtered input, and the union is re-written.
     """
     cfg = config or CuckooConfig()
-    expected = _lineage(num_shards, cfg, input_desc)
+    from cuckoo_filter_spark.operators.membership import OVERPROVISION
+    import math as _math
+    snb = cfg.num_buckets_for(
+        int(_math.ceil(capacity / num_shards * OVERPROVISION))
+    )
+    expected = _lineage(num_shards, cfg, input_desc, snb)
     done_df = None
     done_ids: set[int] = set()
     try:
@@ -87,7 +99,9 @@ def build_resumable(
         pass  # no (readable) checkpoint → full build
 
     if len(done_ids) == num_shards:
-        return ShardedCuckooFilter(done_df, num_shards, cfg, key_col)
+        return ShardedCuckooFilter(
+            done_df, num_shards, cfg, key_col, shard_num_buckets=snb
+        )
 
     remaining = df
     if done_ids:
@@ -98,6 +112,8 @@ def build_resumable(
     shards = built.shards if done_df is None else done_df.unionByName(built.shards)
     # materialize before overwriting the checkpoint we may have read from
     shards = shards.localCheckpoint(eager=True)
-    result = ShardedCuckooFilter(shards, num_shards, cfg, key_col)
+    result = ShardedCuckooFilter(
+        shards, num_shards, cfg, key_col, shard_num_buckets=snb
+    )
     write_checkpoint(result, checkpoint_path, input_desc)
     return result

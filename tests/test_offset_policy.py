@@ -1,0 +1,69 @@
+"""OffsetAltBucketPolicy parity (bucket_policies.cuh:190-351):
+choice-bit fingerprints, exact (non-pow2) bucket counts, symmetric
+forward/backward displacement."""
+
+import numpy as np
+import pytest
+
+from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+
+def _keys(n, seed=42):
+    return np.random.default_rng(seed).integers(
+        1, 2**63, n, dtype=np.int64
+    ).view(np.uint64)
+
+
+def test_non_pow2_bucket_count():
+    f = OffsetCuckooFilter(10_000, bucket_size=4)
+    assert f.num_buckets == 2500  # exact ceil, not rounded to 4096
+
+
+def test_zero_false_negatives_and_fpr():
+    keys = _keys(50_000)
+    flt = OffsetCuckooFilter(70_000)
+    s = flt.insert_many(keys)
+    assert s.mean() > 0.999
+    assert flt.contains_many(keys)[s].all()
+    neg = _keys(50_000, seed=9) | np.uint64(1 << 63)
+    fpr = flt.contains_many(neg).mean()
+    # epsilon = 2 b alpha / 2^(f-1) (choice bit costs one fp bit)
+    alpha = flt.load_factor()
+    eps = 2 * flt.bucket_size * alpha / (1 << (flt.bits_per_tag - 1))
+    assert fpr <= 3 * eps + 1e-3
+
+
+def test_alternate_is_involution():
+    flt = OffsetCuckooFilter(1000)
+    rng = np.random.default_rng(1)
+    for _ in range(200):
+        b = int(rng.integers(0, flt.num_buckets))
+        tag = int(rng.integers(1, flt._choice_bit))  # choice=0 tag
+        b2, t2 = flt.alternate(b, tag)
+        b3, t3 = flt.alternate(b2, t2)
+        assert (b3, t3) == (b, tag)  # back where we started
+        assert t2 == tag | flt._choice_bit  # choice bit flipped
+
+
+def test_high_load_insert_with_kicks():
+    flt = OffsetCuckooFilter(20_000)
+    n = int(flt.num_buckets * flt.bucket_size * 0.95)
+    keys = _keys(n, seed=5)
+    s = flt.insert_many(keys)
+    assert s.mean() >= 0.99  # >=99% at 0.95 load (test_cuckoo_filter.cu:135)
+    # every successful insert must still be found after kick chains
+    assert flt.contains_many(keys)[s].all()
+    assert flt.kicks > 0  # chains actually exercised
+
+
+def test_delete_semantics():
+    keys = _keys(10_000, seed=3)
+    flt = OffsetCuckooFilter(16_000)
+    flt.insert_many(keys)
+    evens = keys[::2]
+    odds = keys[1::2]
+    ok = flt.delete_many(evens)
+    assert ok.all()
+    assert flt.contains_many(odds).all()
+    assert flt.delete_many(_keys(100, seed=77) | np.uint64(1 << 63)).sum() == 0
+    assert flt.occupied == len(odds)
