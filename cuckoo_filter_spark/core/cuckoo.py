@@ -582,13 +582,13 @@ class CuckooFilter:
             )
         return out
 
-    def _delete_chunked(self, n: int, cand) -> np.ndarray:
+    def _delete_chunked(self, n: int, cand_fn) -> np.ndarray:
         if n == 0:
             return np.zeros(0, dtype=bool)
         success = np.zeros(n, dtype=bool)
         for clo in range(0, n, self.CHUNK):
             chi = min(clo + self.CHUNK, n)
-            i1, i2, fp = cand(clo, chi)
+            i1, i2, fp = cand_fn(clo, chi)
             packed = (i1.astype(np.uint64) << np.uint64(32)) | fp.astype(
                 np.uint64
             )

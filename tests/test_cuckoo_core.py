@@ -231,3 +231,31 @@ def test_insert_sorted_equivalent(config):
     assert s1.sum() == len(keys) and s2.sum() == len(keys)
     probes = rand_keys(20_000, hi=2**63, seed=5)
     assert (f1.contains_many(probes) == f2.contains_many(probes)).all()
+
+
+def test_delete_many_multi_chunk():
+    """Regression: deletes spanning multiple kernel chunks (>CHUNK
+    keys) must not clobber the candidate callback (the inner round
+    loop reuses local names)."""
+    import numpy as np
+    from cuckoo_filter_spark.config import CuckooConfig
+    from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+
+    n = CuckooFilter.CHUNK * 2 + 123
+    keys = np.random.default_rng(11).integers(
+        1, 2**63, n, dtype=np.int64
+    ).view(np.uint64)
+    flt = CuckooFilter(int(n * 1.3), CuckooConfig())
+    ins = flt.insert_many(keys)
+    ok = flt.delete_many(keys)
+    assert (ok == ins).all()
+    assert flt.occupied == 0
+
+    # packed variant across chunks too
+    flt2 = CuckooFilter(int(n * 1.3), CuckooConfig())
+    i1, i2, fp = flt2.candidates(keys)
+    packed = (i1.astype(np.int64) << 16) | fp.astype(np.int64)
+    flt2.insert_packed(packed)
+    assert flt2.contains_packed(packed).all()
+    assert flt2.delete_packed(packed).all()
+    assert flt2.occupied == 0
