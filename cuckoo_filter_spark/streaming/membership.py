@@ -46,6 +46,82 @@ def stream_novel_keys(
     return annotated.filter(~F.col("__member")).drop("__member")
 
 
+def stream_build_sharded(
+    stream_df: DataFrame,
+    key_col: str,
+    capacity: int,
+    num_shards: int,
+    config=None,
+):
+    """Stateful streaming filter build — the custom-stateful-operator
+    path (``applyInPandasWithState``): group state holds one cuckoo
+    filter blob per shard; every micro-batch inserts its shard's
+    novel keys and emits ``(key, shard, fresh)`` where ``fresh`` is
+    True for the first sighting of a key (set semantics: duplicates
+    and hash false-positives gate as seen). This is the streaming
+    complement of ``ShardedCuckooFilter.build`` — state never leaves
+    the executors and is checkpointed by the streaming engine.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, LongType, StructField, StructType,
+    )
+
+    from cuckoo_filter_spark.config import CuckooConfig
+    from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+    from cuckoo_filter_spark.hashing import keys_to_unsigned
+    from cuckoo_filter_spark.operators.membership import (
+        OVERPROVISION, shard_expr,
+    )
+
+    cfg = config or CuckooConfig()
+    per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("shard", LongType()),
+        StructField("fresh", BooleanType()),
+    ])
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(key, pdfs, state: GroupState):
+        shard_id = int(key[0])
+        if state.exists:
+            flt = CuckooFilter.from_bytes(bytes(state.get[0]))
+        else:
+            flt = CuckooFilter(per_shard_cap, cfg)
+        for pdf in pdfs:
+            raw = pdf[key_col].to_numpy(np.int64, copy=False)
+            keys = keys_to_unsigned(raw)
+            seen = flt.contains_many(keys)
+            fresh = ~seen
+            novel = np.flatnonzero(fresh)
+            if novel.size:
+                # set semantics: one stored instance per distinct key;
+                # intra-batch duplicates gate on the first occurrence
+                uniq, first = np.unique(keys[novel], return_index=True)
+                flt.insert_many(uniq)
+                mask = np.zeros(len(novel), dtype=bool)
+                mask[first] = True
+                fresh[novel[~mask]] = False
+            yield pd.DataFrame({
+                key_col: raw, "shard": shard_id, "fresh": fresh,
+            })
+        state.update((flt.to_bytes(),))
+
+    return (
+        stream_df.withColumn("__shard", shard_expr(key_col, num_shards))
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_exact_dedup(
     stream_df: DataFrame,
     key_cols: list[str],

@@ -86,3 +86,42 @@ def test_stream_exact_dedup(spark, tmp_path):
     ks = [r.k for r in out.select("k").collect()]
     assert len(ks) == len(set(ks))  # no duplicates within the run
     assert set(ks) == set(range(100))
+
+
+def test_stream_build_sharded_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-shard filter state across
+    micro-batches; duplicates (within and across batches) gate as
+    not-fresh."""
+    src_dir = str(tmp_path / "statesrc")
+    # batch 1: keys 0..999; batch 2: keys 500..1499 (500 repeats)
+    (
+        spark.range(0, 1000).select(F.col("id").alias("key"))
+        .write.parquet(src_dir + "/b1")
+    )
+    (
+        spark.range(500, 1500).select(F.col("id").alias("key"))
+        .write.parquet(src_dir + "/b2")
+    )
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src_dir + "/*")
+    )
+    out = sm.stream_build_sharded(stream, "key", 4096, 4, CFG)
+    q = (
+        out.writeStream.format("memory").queryName("state_build_t")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("state_build_t").collect()
+    assert len(rows) == 2000
+    fresh = sum(1 for r in rows if r.fresh)
+    # 1500 distinct keys; tiny FP slack allowed (fresh undercount)
+    assert 1490 <= fresh <= 1500
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r.fresh)
+    # no key is fresh twice
+    assert all(sum(v) <= 1 for v in by_key.values())
