@@ -173,6 +173,26 @@ def q_cuckoo_shard_metrics(spark, sf_dir):
     )
 
 
+def q_cuckoo_contains_sql(spark, sf_dir):
+    """Pure-JVM probe: filter as a broadcast words table + codegen
+    bit math (zero Python in the probe). Zero false negatives on all
+    inserted keys; disjoint negatives almost all rejected."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    filt = DistributedCuckooFilter.build(docs, "key", _capacity(n), CFG)
+    pos = filt.contains_sql(docs.select("doc_id", "key"), "key")
+    n_neg = 10000
+    neg_hits = (
+        filt.contains_sql(_negatives(spark, n_neg), "key")
+        .filter(F.col("member")).count()
+    )
+    eps = CFG.theoretical_fpr(filt.filter.occupied / filt.filter.slot_capacity)
+    limit = math.ceil(eps * n_neg + 5 * math.sqrt(eps * n_neg) + 5)
+    return pos.select("doc_id", "member").withColumn(
+        "neg_within_bound", F.lit(bool(neg_hits <= limit))
+    )
+
+
 def q_offset_policy_contains(spark, sf_dir):
     """OffsetAltBucketPolicy parity (choice-bit fp, exact non-pow2
     bucket count, bucket_policies.cuh:190-351): zero false negatives
@@ -452,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_delete_requery": q_cuckoo_delete_requery,
         "cuckoo_merge_associativity": q_cuckoo_merge_associativity,
         "cuckoo_shard_metrics": q_cuckoo_shard_metrics,
+        "cuckoo_contains_sql": q_cuckoo_contains_sql,
         "offset_policy_contains": q_offset_policy_contains,
         "addsub_policy_contains": q_addsub_policy_contains,
         "hll_distinct_documents": q_hll_distinct_documents,
@@ -536,6 +557,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS failures, CAST(8 AS BIGINT) AS num_shards
             FROM documents
         """,
+        "cuckoo_contains_sql":
+            "SELECT doc_id, TRUE AS member, TRUE AS neg_within_bound "
+            "FROM documents",
         "offset_policy_contains":
             "SELECT doc_id, TRUE AS member FROM documents",
         "addsub_policy_contains":

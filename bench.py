@@ -105,9 +105,20 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
     cpus = spark.sparkContext.defaultParallelism
 
     # ---- headline: cuckoo insert / contains / delete ------------------
-    slots = 1 << max(12, int(np.ceil(np.log2(n_keys / TARGET_LOAD))))
-    capacity = slots  # slot-capacity; shards overprovision internally
+    # Size the request so the ACTUAL per-shard slot capacity (pow2
+    # bucket rounding included) puts slot load at ~TARGET_LOAD — the
+    # reference's protocol (loadFactor = occupied / slot capacity,
+    # CuckooFilter.cuh:688-690; benchmarks insert 0.95 * capacity).
     num_shards = max(2 * cpus, 16)
+    per_shard_slots = 1 << max(
+        10, int(round(np.log2(n_keys / TARGET_LOAD / num_shards)))
+    )
+    slot_capacity = per_shard_slots * num_shards
+    # snap n_keys to the pow2 geometry so slot load is exactly the target
+    n_keys = int(slot_capacity * TARGET_LOAD)
+    capacity = int(slot_capacity / OVER())
+    while int(np.ceil(capacity / num_shards * OVER())) > per_shard_slots:
+        capacity -= num_shards
 
     # materialize the key table to parquet OUTSIDE the timed region:
     # a parquet scan feeds ArrowEvalPython ~2x faster than an
@@ -156,7 +167,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
     timings["cuckoo_insert"] = best
     info["inserts_per_sec"] = n_rows / timings["cuckoo_insert"]
     info["insert_success_rate"] = m["occupied"] / m["rows"]
-    info["load_factor"] = m["occupied"] / (capacity * OVER())
+    info["load_factor"] = m["occupied"] / slot_capacity  # true slot load
     info["kicks_per_insert"] = m["kicks"] / m["rows"]
 
     (
