@@ -393,6 +393,17 @@ def q_ann_lsh_recall(spark, sf_dir):
     return similarity.lsh_bucket_topk(emb, queries, k=5, dim=64, num_bits=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """rows-only check: IVF coarse quantization is approximate by
+    design; recall vs brute force is asserted in tests."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return similarity.ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = multimodal.attach_media(docs, "text", "doc_id")
@@ -490,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_fingerprints": q_rolling_fingerprints,
         "ann_topk": q_ann_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_events_per_user": q_top_events_per_user,

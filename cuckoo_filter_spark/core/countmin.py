@@ -52,7 +52,10 @@ class CountMinSketch:
             counts = np.ones(len(keys), dtype=np.int64)
         idx = self._rows(keys)
         for d in range(self.depth):
-            np.add.at(self.table[d], idx[d], counts)
+            # bincount beats np.add.at's buffered scatter ~10x here
+            self.table[d] += np.bincount(
+                idx[d], weights=counts, minlength=self.width
+            ).astype(np.int64)
         self.total += int(counts.sum())
 
     def estimate_many(self, keys: np.ndarray) -> np.ndarray:

@@ -69,6 +69,43 @@ def _keys_from_pdf(pdf: pd.DataFrame, col: str) -> np.ndarray:
     return keys_to_unsigned(pdf[col].to_numpy(dtype=np.int64, copy=False))
 
 
+def _arrow_shard_builder(per_shard_cap: int, cfg: CuckooConfig):
+    """mapInArrow worker: group (__shard, __packed) batches by shard
+    and run placement-only inserts (the hash chain already ran in
+    codegen). Arrow in/out — no pandas boxing on the hot path."""
+
+    def build_shards(batches):
+        import pyarrow as pa
+
+        per_shard: dict[int, list[np.ndarray]] = {}
+        for rb in batches:
+            sids = rb.column(0).to_numpy(zero_copy_only=False)
+            packed = rb.column(1).to_numpy(zero_copy_only=False)
+            order = np.argsort(sids, kind="stable")
+            sp = packed[order]
+            ss = sids[order]
+            bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+            for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ss)]):
+                per_shard.setdefault(int(ss[b0]), []).append(sp[b0:b1])
+        for sid, chunks in per_shard.items():
+            flt = CuckooFilter(per_shard_cap, cfg)
+            rows = 0
+            inserted = 0
+            for chunk in chunks:
+                rows += len(chunk)
+                inserted += int(flt.insert_packed(chunk).sum())
+            yield pa.RecordBatch.from_pydict({
+                "shard_id": [sid],
+                "blob": [flt.to_bytes()],
+                "rows": [rows],
+                "inserted": [inserted],
+                "kicks": [flt.kicks],
+                "failures": [flt.failures],
+            })
+
+    return build_shards
+
+
 def _words_frame(
     spark: SparkSession, buckets: np.ndarray, bits_per_tag: int
 ) -> tuple[DataFrame, int]:
@@ -366,43 +403,71 @@ class ShardedCuckooFilter:
         from cuckoo_filter_spark.hashing import packed_expr
 
         nb = cfg.num_buckets_for(per_shard_cap)
-
-        def build_shards(batches: "Iterator[pd.DataFrame]"):
-            per_shard: dict[int, list[np.ndarray]] = {}
-            for pdf in batches:
-                sids = pdf["__shard"].to_numpy(np.int64, copy=False)
-                packed = pdf["__packed"].to_numpy(np.int64, copy=False)
-                order = np.argsort(sids, kind="stable")
-                sp, ss = packed[order], sids[order]
-                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
-                for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ss)]):
-                    per_shard.setdefault(int(ss[b0]), []).append(sp[b0:b1])
-            for sid, chunks in per_shard.items():
-                flt = CuckooFilter(per_shard_cap, cfg)
-                rows = 0
-                inserted = 0
-                for chunk in chunks:
-                    rows += len(chunk)
-                    inserted += int(flt.insert_packed(chunk).sum())
-                yield pd.DataFrame({
-                    "shard_id": [sid],
-                    "blob": [flt.to_bytes()],
-                    "rows": [rows],
-                    "inserted": [inserted],
-                    "kicks": [flt.kicks],
-                    "failures": [flt.failures],
-                })
-
         shards = (
             df.select(
                 shard_expr(key_col, num_shards).alias("__shard"),
                 packed_expr(key_col, nb, cfg.bits_per_tag).alias("__packed"),
             )
             .repartition(num_shards, "__shard")
-            .mapInPandas(build_shards, schema=_SHARD_SCHEMA)
+            .mapInArrow(
+                _arrow_shard_builder(per_shard_cap, cfg),
+                schema=_SHARD_SCHEMA,
+            )
         )
         return ShardedCuckooFilter(
             shards, num_shards, cfg, key_col, shard_num_buckets=nb
+        )
+
+    @staticmethod
+    def build_bucketed(
+        df: DataFrame,
+        capacity: int,
+        num_shards: int,
+        config: Optional[CuckooConfig] = None,
+        key_col: str = "key",
+    ) -> "ShardedCuckooFilter":
+        """Zero-shuffle build from a pre-bucketed source.
+
+        ``df`` must already carry ``__shard`` and ``__packed``
+        columns (e.g. read back from a parquet table written with
+        :meth:`write_bucketed_keys`, or any table bucketed by the
+        shard router at ingest time — the 100 TB deployment shape:
+        the corpus is bucketed by content-hash once, every filter
+        build after that is a pure scan → per-task placement with NO
+        Exchange). Tasks may mix shards; the builder groups
+        arrow-side, so file/task alignment is a performance knob,
+        not a correctness requirement.
+        """
+        cfg = config or CuckooConfig()
+        per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+        shards = df.select("__shard", "__packed").mapInArrow(
+            _arrow_shard_builder(per_shard_cap, cfg), schema=_SHARD_SCHEMA
+        )
+        return ShardedCuckooFilter(
+            shards, num_shards, cfg, key_col,
+            shard_num_buckets=cfg.num_buckets_for(per_shard_cap),
+        )
+
+    @staticmethod
+    def write_bucketed_keys(
+        df: DataFrame, key_col: str, capacity: int, num_shards: int,
+        path: str, config: Optional[CuckooConfig] = None,
+    ) -> None:
+        """Materialize (\_\_shard, \_\_packed) bucketed by shard to
+        parquet — the one-time table-preparation step that makes
+        every subsequent :meth:`build_bucketed` shuffle-free."""
+        from cuckoo_filter_spark.hashing import packed_expr
+
+        cfg = config or CuckooConfig()
+        per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+        nb = cfg.num_buckets_for(per_shard_cap)
+        (
+            df.select(
+                shard_expr(key_col, num_shards).alias("__shard"),
+                packed_expr(key_col, nb, cfg.bits_per_tag).alias("__packed"),
+            )
+            .repartition(num_shards, "__shard")
+            .write.mode("overwrite").parquet(path)
         )
 
     def persist(self) -> "ShardedCuckooFilter":

@@ -160,6 +160,88 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    num_centroids: int = 64,
+    nprobe: int = 4,
+    sample_rows: int = 20000,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Scale path for many queries over a huge corpus: a coarse
+    centroid codebook is trained driver-side on a bounded sample
+    (mini Lloyd's over spherical k-means), the corpus is assigned to
+    its nearest centroid in one vectorized pass (this is the only
+    full-corpus work, and it's a map — no shuffle), and each query
+    exactly reranks only the ``nprobe`` nearest centroid lists.
+    Candidate volume is ~corpus * nprobe / num_centroids per query.
+    """
+    rng = np.random.default_rng(seed)
+    sample = corpus.select(vec_col).limit(sample_rows).toPandas()
+    sm = _normalize(_matrix(sample[vec_col]).astype(np.float64))
+    # spherical k-means on the sample
+    cents = sm[rng.choice(len(sm), size=min(num_centroids, len(sm)),
+                          replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (sm @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = sm[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cents = np.ascontiguousarray(cents)
+
+    @F.pandas_udf("int")
+    def nearest_centroid(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            m = _normalize(_matrix(s).astype(np.float64))
+            yield pd.Series((m @ cents.T).argmax(axis=1).astype(np.int32))
+
+    listed = corpus.withColumn("__list", nearest_centroid(F.col(vec_col)))
+
+    qm = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    qsims = qm @ cents.T
+    probe_rows = []
+    for (qid, vec), sims in zip(queries, qsims):
+        for c in np.argsort(-sims)[:nprobe]:
+            probe_rows.append(
+                (int(qid), [float(x) for x in vec], int(c))
+            )
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, __list int"
+    )
+    joined = listed.join(F.broadcast(qdf), "__list")
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = _normalize(_matrix(pdf[vec_col]).astype(np.float64))
+            qv = _normalize(_matrix(pdf["qvec"]).astype(np.float64))
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"],
+                id_col: pdf[id_col],
+                "cosine": (cm * qv).sum(axis=1),
+            })
+
+    scored = joined.mapInPandas(
+        rerank, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_pairs_ge(
     corpus: DataFrame,
     threshold: float,

@@ -51,7 +51,8 @@ def main():
     runs["weak_32"] = runs["strong_32"]
     wall = time.time() - t0
 
-    ops = ["inserts_per_sec", "queries_per_sec", "deletes_per_sec"]
+    ops = ["inserts_per_sec", "inserts_bucketed_per_sec",
+           "queries_per_sec", "deletes_per_sec"]
     lines = [
         "# BENCH/BASELINE.md — throughput + scaling evidence",
         "",

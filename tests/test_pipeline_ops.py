@@ -228,3 +228,22 @@ def test_multimodal_plumbing(docs):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(pd.Series([b"x"]), "image/png")
+
+
+def test_ivf_topk_recall(emb):
+    queries = [(int(r.vec_id), list(r.embedding)) for r in emb.limit(5).collect()]
+    exact = similarity.brute_force_topk(emb, queries, k=5).toPandas()
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, num_centroids=16, nprobe=4
+    ).toPandas()
+    hits = tot = 0
+    for qid, _ in queries:
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.5  # nprobe=4/16 of the corpus scanned
+    # self-vector lands in its own probed list -> rank-1 self hit
+    for qid, _ in queries:
+        a = approx[approx.query_id == qid].sort_values("rank")
+        assert len(a) >= 1 and a.iloc[0]["vec_id"] == qid

@@ -103,3 +103,19 @@ def test_contains_sql_sharded(spark, keys_df):
     }
     assert sql_res == bc_res
     assert all(sql_res[int(k)] for k in keys)  # zero false negatives
+
+
+def test_bucketed_build_matches(spark, keys_df, tmp_path):
+    df, keys = keys_df
+    path = str(tmp_path / "bucketed")
+    ShardedCuckooFilter.write_bucketed_keys(df, "key", 6000, 8, path, CFG)
+    bucketed = spark.read.parquet(path)
+    a = ShardedCuckooFilter.build_bucketed(bucketed, 6000, 8, CFG)
+    b = ShardedCuckooFilter.build(df, "key", 6000, 8, CFG)
+    blobs_a = {r.shard_id: bytes(r.blob) for r in a.shards.collect()}
+    blobs_b = {r.shard_id: bytes(r.blob) for r in b.shards.collect()}
+    assert set(blobs_a) == set(blobs_b)
+    # same keys per shard -> same occupancy; layout may differ with
+    # input order, so compare membership, not bytes
+    out = a.contains_broadcast(df, "key")
+    assert out.filter(~F.col("member")).count() == 0
