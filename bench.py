@@ -13,7 +13,8 @@ dedup, token stats, ANN top-k).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_KEYS (default
-2^22 filter slots' worth, ~4M keys).
+2^24 filter slots' worth, ~16M keys; snapped to pow2 geometry
+so true slot load is 0.95).
 """
 
 import json
@@ -302,7 +303,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_keys = int(os.environ.get(
-        "SPARK_GRAFT_BENCH_KEYS", str(int((1 << 22) * TARGET_LOAD))
+        "SPARK_GRAFT_BENCH_KEYS", str(int((1 << 24) * TARGET_LOAD))
     ))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     prefault_memory(int(os.environ.get("SPARK_GRAFT_PREFAULT_GB", "12")))
