@@ -355,6 +355,28 @@ def q_minhash_near_dups(spark, sf_dir):
     return pairs.select("id_a", "id_b", "jaccard")
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact all-pairs 3-gram Jaccard >= 0.85 (the non-approximate
+    dedup baseline the MinHash path verifies against)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select(F.col("doc_id").alias("id_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = dedup.exact_jaccard_pairs(pairs, docs, "text", "doc_id")
+    return out.filter(F.col("jaccard") >= 0.85).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, blocked matmul)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.cosine_pairs_ge(emb, 0.42)
+    # pair identity only: float32(DuckDB) vs float64(numpy) cosine
+    # differs in low bits; magnitudes are asserted in tests instead
+    return out.select("id_a", "id_b")
+
+
 def q_simhash_docs(spark, sf_dir):
     """rows-only check: SimHash bit arithmetic is not reasonably
     SQL-expressible (weighted per-bit majority over md5 token
@@ -497,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "doc_fingerprints": q_doc_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
         "simhash_docs": q_simhash_docs,
         "rolling_fingerprints": q_rolling_fingerprints,
         "ann_topk": q_ann_topk,
@@ -638,6 +662,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
             FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.9
+        """,
+        "ngram_jaccard_pairs": """
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            ), ix AS (
+              SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM n
+            ), sh AS (
+              SELECT doc_id, list(DISTINCT substr(t, CAST(i AS INT), 3)) AS s
+              FROM ix GROUP BY doc_id
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s)) AS inter,
+                     len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+            FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.85
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv
