@@ -45,7 +45,13 @@ def main():
                     "f": f, "b": b, "target_load": load,
                     "alpha": round(alpha, 4),
                     "fpr": fpr, "eps_bound": eps,
-                    "within_bound": bool(fpr <= eps),
+                    # eps is an expectation; allow 3-sigma Poisson
+                    # sampling slack on N_PROBES draws
+                    "within_bound": bool(
+                        fpr * N_PROBES
+                        <= eps * N_PROBES
+                        + 3 * np.sqrt(eps * N_PROBES) + 3
+                    ),
                     "insert_success": float(ok.mean()),
                     "inserts_per_sec": round(n / dt),
                     "kicks_per_insert": round(flt.kicks / n, 4),
