@@ -145,7 +145,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
 
     spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(_warm, "x long").count()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     # best-of-reps, as in the reference's google-benchmark repetitions
     # (benchmark_common.cuh:377-384) — the sandbox has noisy-neighbor
