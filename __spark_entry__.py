@@ -38,7 +38,9 @@ from cuckoo_filter_spark.operators import dedup, multimodal, similarity, text
 from cuckoo_filter_spark.operators.membership import (
     DistributedCuckooFilter, ShardedCuckooFilter,
 )
-from cuckoo_filter_spark.operators.sketch_agg import aggregate_sketch, grouped_sketch
+from cuckoo_filter_spark.operators.sketch_agg import (
+    aggregate_sketch, grouped_sketch, grouped_sketch_partial,
+)
 
 CFG = CuckooConfig(bits_per_tag=16, bucket_size=4)
 KEY_SQL = content_key_sql("text")
@@ -236,8 +238,11 @@ def q_hll_distinct_documents(spark, sf_dir):
 
 
 def q_hll_per_lang(spark, sf_dir):
+    """Per-group HLL via the skew-proof two-stage path: partial
+    sketches per input partition (hot groups spread), blob-only
+    merge Exchange."""
     docs = _docs(spark, sf_dir)
-    est = grouped_sketch(
+    est = grouped_sketch_partial(
         docs, ["lang"], "key", lambda: HyperLogLog(14),
         lambda sk: {"est": int(round(sk.estimate()))}, "est long",
     )

@@ -248,3 +248,27 @@ def test_spark_tdigest_vs_exact(spark, sf_dir):
     for q in [0.1, 0.5, 0.9]:
         est = td.quantile(q)
         assert abs((vals <= est).mean() - q) < 0.02
+
+
+def test_grouped_sketch_partial_matches_direct(spark, sf_dir):
+    """Skew-proof two-stage grouped sketching produces identical
+    estimates to the single-Exchange variant (merge associativity)."""
+    from cuckoo_filter_spark.core.hll import HyperLogLog
+    from cuckoo_filter_spark.operators.sketch_agg import (
+        grouped_sketch, grouped_sketch_partial,
+    )
+    from cuckoo_filter_spark.hashing import content_key_expr
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("key", content_key_expr(F.col("text")))
+    )
+    fin = lambda sk: {"est": int(round(sk.estimate()))}
+    a = grouped_sketch(
+        docs, ["lang"], "key", lambda: HyperLogLog(12), fin, "est long"
+    ).collect()
+    b = grouped_sketch_partial(
+        docs, ["lang"], "key", lambda: HyperLogLog(12), fin, "est long"
+    ).collect()
+    assert {(r.lang, r.est) for r in a} == {(r.lang, r.est) for r in b}
