@@ -195,6 +195,28 @@ def q_cuckoo_contains_sql(spark, sf_dir):
     )
 
 
+def q_cuckoo_per_lang(spark, sf_dir):
+    """One cuckoo filter per lang, built with the same skew-proof
+    two-stage mergeable-sketch path as every other sketch (the
+    cuckoo IS a sketch under the UDAF protocol): per-lang occupancy
+    equals the lang's distinct-key count (capacity amply sized →
+    zero failed inserts), and every lang's own keys are members."""
+    docs = _docs(spark, sf_dir)
+    counts = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.countDistinct("key").alias("n")).collect()}
+    cap = _capacity(max(counts.values()))
+
+    def fin(sk):
+        return {"occupied": int(sk.occupied), "failures": int(sk.failures)}
+
+    per_lang = grouped_sketch_partial(
+        docs.dropDuplicates(["lang", "key"]), ["lang"], "key",
+        lambda: CuckooFilter(cap, CFG), fin,
+        "occupied long, failures long",
+    )
+    return per_lang.select("lang", "occupied", "failures")
+
+
 def q_offset_policy_contains(spark, sf_dir):
     """OffsetAltBucketPolicy parity (choice-bit fp, exact non-pow2
     bucket count, bucket_policies.cuh:190-351): zero false negatives
@@ -511,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_merge_associativity": q_cuckoo_merge_associativity,
         "cuckoo_shard_metrics": q_cuckoo_shard_metrics,
         "cuckoo_contains_sql": q_cuckoo_contains_sql,
+        "cuckoo_per_lang": q_cuckoo_per_lang,
         "offset_policy_contains": q_offset_policy_contains,
         "addsub_policy_contains": q_addsub_policy_contains,
         "hll_distinct_documents": q_hll_distinct_documents,
@@ -601,6 +624,9 @@ def oracle_sql() -> dict[str, str]:
         "cuckoo_contains_sql":
             "SELECT doc_id, TRUE AS member, TRUE AS neg_within_bound "
             "FROM documents",
+        "cuckoo_per_lang":
+            "SELECT lang, count(DISTINCT text) AS occupied, "
+            "CAST(0 AS BIGINT) AS failures FROM documents GROUP BY lang",
         "offset_policy_contains":
             "SELECT doc_id, TRUE AS member FROM documents",
         "addsub_policy_contains":

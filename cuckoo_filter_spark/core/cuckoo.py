@@ -461,6 +461,12 @@ class CuckooFilter:
         self.occupied += int(success.sum())
         return success
 
+    def add_many(self, keys: np.ndarray) -> None:
+        """Mergeable-sketch protocol adapter (``sketch_agg`` builders
+        call ``add_many``); the success mask is tracked in
+        ``occupied``/``failures`` metrics."""
+        self.insert_many(keys)
+
     def insert_many_sorted(self, keys: np.ndarray) -> np.ndarray:
         """Locality-optimized insert: sort the batch by primary bucket
         before placement (the in-batch analog of insertManySorted's
