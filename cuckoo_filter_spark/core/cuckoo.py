@@ -114,7 +114,7 @@ class CuckooFilter:
     #: so random filter-array access (latency-bound, parallelizes) is
     #: the only DRAM traffic; streaming full-batch temporaries
     #: saturate the memory bus and kill multi-core scaling.
-    CHUNK = 32768
+    CHUNK = 65536
 
     def __init__(self, capacity: int, config: CuckooConfig | None = None):
         self.config = config or CuckooConfig()
