@@ -480,10 +480,13 @@ class CuckooFilter:
         return out
 
     #: adaptiveInsert cutoff (reference: 2^29 keys switches to the
-    #: sorted path, benchmark_common.cuh:113-126). In-batch sorting
-    #: pays off when the batch is much larger than cache-resident
-    #: bucket ranges; scaled down for CPU cache sizes.
-    ADAPTIVE_SORT_THRESHOLD = 1 << 21
+    #: sorted path, benchmark_common.cuh:113-126). MEASURED on CPU
+    #: (BENCH/sorted_vs_unsorted.json): the in-batch sort costs more
+    #: than the locality it buys at every size (0.63-0.81x) — the
+    #: GPU's memory-coalescing win does not transfer to cache-
+    #: hierarchy CPUs with chunked placement, so the adaptive path
+    #: never switches by default.
+    ADAPTIVE_SORT_THRESHOLD = 1 << 62
 
     def adaptive_insert(self, keys: np.ndarray) -> np.ndarray:
         """insert_many below the threshold, insert_many_sorted above
