@@ -740,9 +740,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
-                   SUM(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS sum_disc_bps,
+                   CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   CAST(SUM(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_bps,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -758,7 +760,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,

@@ -75,6 +75,10 @@ class CuckooConfig:
             raise ValueError("bits_per_tag must be 8, 16 or 32")
         if self.bucket_size < 1 or self.bucket_size & (self.bucket_size - 1):
             raise ValueError("bucket_size must be a power of two")
+        # fill vectors are int8; 64 already exceeds any published
+        # cuckoo-filter configuration (reference max is 16)
+        if self.bucket_size > 64:
+            raise ValueError("bucket_size must be <= 64")
         if self.eviction_policy not in ("dfs", "bfs"):
             raise ValueError("eviction_policy must be 'dfs' or 'bfs'")
         if self.bucket_policy not in ("xor", "addsub"):

@@ -734,9 +734,16 @@ class CuckooFilter:
     # serialization (shard blob exchanged between Spark stages)
     # ------------------------------------------------------------------
 
+    #: Blob format version. v1 used the xxhash64+FINGERPRINT_SEED
+    #: family; v2 probes with the chained FP_SALT/DISP_SALT family,
+    #: so v1 blobs MUST be rejected (probing them with the new family
+    #: yields false negatives).
+    BLOB_VERSION = 2
+
     def to_bytes(self) -> bytes:
         hdr = _HEADER.pack(
-            _MAGIC, 1, self.config.bits_per_tag, self.config.bucket_size,
+            _MAGIC, self.BLOB_VERSION, self.config.bits_per_tag,
+            self.config.bucket_size,
             _POLICIES.index(self.config.eviction_policy),
             _BUCKET_POLICIES.index(self.config.bucket_policy),
             self.num_buckets, self.capacity, self.occupied, self.kicks,
@@ -749,8 +756,14 @@ class CuckooFilter:
         magic, ver, f, b, pol, bpol, nb, cap, occ, kicks, fails, inserts = (
             _HEADER.unpack_from(blob)
         )
-        if magic != _MAGIC or ver != 1:
+        if magic != _MAGIC:
             raise ValueError("bad cuckoo filter blob")
+        if ver != cls.BLOB_VERSION:
+            raise ValueError(
+                f"cuckoo blob version {ver} not supported (expected "
+                f"{cls.BLOB_VERSION}; the hash family changed — rebuild "
+                "the filter from source keys)"
+            )
         cfg = CuckooConfig(
             bits_per_tag=f, bucket_size=b, eviction_policy=_POLICIES[pol],
             bucket_policy=_BUCKET_POLICIES[bpol],

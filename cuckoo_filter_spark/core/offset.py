@@ -43,6 +43,13 @@ class OffsetCuckooFilter:
     ):
         if bits_per_tag < 2:
             raise ValueError("bits_per_tag must be >= 2 for the choice bit")
+        if bits_per_tag > 16:
+            # the eager 2^(f-1)-entry offset table would be gigabytes
+            # at f=32; wide tags belong to the XOR/addsub policies
+            raise ValueError("OffsetCuckooFilter supports bits_per_tag <= 16")
+        if not 1 <= bucket_size <= 64:
+            # int8 fill vector (and parity with CuckooConfig's cap)
+            raise ValueError("bucket_size must be in [1, 64]")
         self.bits_per_tag = bits_per_tag
         self.bucket_size = bucket_size
         self.max_kicks = max_kicks

@@ -79,6 +79,8 @@ def _arrow_shard_builder(per_shard_cap: int, cfg: CuckooConfig):
 
         per_shard: dict[int, list[np.ndarray]] = {}
         for rb in batches:
+            if rb.num_rows == 0:
+                continue
             sids = rb.column(0).to_numpy(zero_copy_only=False)
             packed = rb.column(1).to_numpy(zero_copy_only=False)
             order = np.argsort(sids, kind="stable")
@@ -755,7 +757,12 @@ class ShardedCuckooFilter:
         new_shards = merged.filter(F.col("blob").isNotNull()).select(
             "shard_id", "blob", "rows", "inserted", "kicks", "failures"
         )
-        out = ShardedCuckooFilter(new_shards, self.num_shards, cfg, key_col)
+        # shard geometry is unchanged by deletes — keep the packed
+        # JVM fast path alive on the returned filter
+        out = ShardedCuckooFilter(
+            new_shards, self.num_shards, cfg, key_col,
+            shard_num_buckets=self.shard_num_buckets,
+        )
         out._delete_src = merged  # release() drops the persisted plan
         return results, out
 

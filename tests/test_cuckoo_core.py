@@ -259,3 +259,33 @@ def test_delete_many_multi_chunk():
     assert flt2.contains_packed(packed).all()
     assert flt2.delete_packed(packed).all()
     assert flt2.occupied == 0
+
+
+def test_bucket_size_capped():
+    """Regression (ADVICE r1): bucket_size=128 would overflow the
+    int8 fill vector (fill wraps to -128 and membership silently
+    breaks); the config must reject it outright."""
+    with pytest.raises(ValueError, match="bucket_size"):
+        CuckooConfig(bucket_size=128)
+    # the largest allowed size still works end-to-end
+    cfg = CuckooConfig(bucket_size=64)
+    f = CuckooFilter(4096, cfg)
+    keys = rand_keys(4000, hi=2**62)
+    assert f.insert_many(keys).all()
+    assert f.contains_many(keys).all()
+
+
+def test_blob_version_guard():
+    """Regression (ADVICE r1): v1 blobs were written with the old
+    xxhash64+FINGERPRINT_SEED family; probing them with the current
+    chained family would yield false negatives, so from_bytes must
+    reject any non-current version byte."""
+    import struct
+
+    f = CuckooFilter(1024, CuckooConfig())
+    f.insert_many(rand_keys(500))
+    blob = f.to_bytes()
+    assert blob[4] == CuckooFilter.BLOB_VERSION == 2
+    stale = blob[:4] + bytes([1]) + blob[5:]
+    with pytest.raises(ValueError, match="version"):
+        CuckooFilter.from_bytes(stale)

@@ -88,6 +88,9 @@ def test_sharded_delete_then_query(spark, repo_df):
     n_even, n_odd = evens.count(), odds.count()
 
     results, updated = sharded.delete(evens)
+    # regression (ADVICE r1): shard geometry is unchanged by deletes,
+    # so the packed JVM fast path must survive the functional update
+    assert updated.shard_num_buckets == sharded.shard_num_buckets is not None
     assert results.filter(F.col("ok")).count() == n_even
     # all remaining keys still found (zero false negatives survive delete)
     still = updated.contains(odds)

@@ -67,3 +67,17 @@ def test_delete_semantics():
     assert flt.contains_many(odds).all()
     assert flt.delete_many(_keys(100, seed=77) | np.uint64(1 << 63)).sum() == 0
     assert flt.occupied == len(odds)
+
+
+def test_offset_parameter_guards():
+    """Regression (ADVICE r1): wide tags would eagerly allocate a
+    2^(f-1)-entry offset table (~17 GB at f=32) and big buckets
+    overflow the int8 fill vector — both must be rejected."""
+    import pytest
+
+    from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+    with pytest.raises(ValueError, match="bits_per_tag"):
+        OffsetCuckooFilter(1024, bits_per_tag=32)
+    with pytest.raises(ValueError, match="bucket_size"):
+        OffsetCuckooFilter(1024, bucket_size=128)
