@@ -23,10 +23,17 @@ chained family, not the reference's exact bit layout.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
 from cuckoo_filter_spark.config import DISP_SALT, FP_SALT
 from cuckoo_filter_spark.hashing import chained_hash
+
+_MAGIC = b"OCKF"
+#: magic, version, bits_per_tag, bucket_size, pad, num_buckets,
+#: capacity, occupied, kicks, failures, max_kicks
+_HEADER = struct.Struct("<4sBBH8xQQQQQQ")
 
 
 class OffsetCuckooFilter:
@@ -217,3 +224,40 @@ class OffsetCuckooFilter:
 
     def load_factor(self) -> float:
         return self.occupied / float(self.num_buckets * self.bucket_size)
+
+    # -- serialization (shard blob for the distributed path) -------------
+
+    BLOB_VERSION = 2  # kept in lockstep with CuckooFilter.BLOB_VERSION
+
+    def to_bytes(self) -> bytes:
+        hdr = _HEADER.pack(
+            _MAGIC, self.BLOB_VERSION, self.bits_per_tag, self.bucket_size,
+            self.num_buckets, self.capacity, self.occupied, self.kicks,
+            self.failures, self.max_kicks,
+        )
+        return hdr + self.buckets.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "OffsetCuckooFilter":
+        magic, ver, f, b, nb, cap, occ, kicks, fails, maxk = (
+            _HEADER.unpack_from(blob)
+        )
+        if magic != _MAGIC:
+            raise ValueError("bad offset cuckoo filter blob")
+        if ver != cls.BLOB_VERSION:
+            raise ValueError(
+                f"offset blob version {ver} not supported "
+                f"(expected {cls.BLOB_VERSION})"
+            )
+        flt = cls(cap, bits_per_tag=f, bucket_size=b, max_kicks=maxk)
+        assert flt.num_buckets == nb
+        flt.buckets = (
+            np.frombuffer(blob, dtype=flt.buckets.dtype, offset=_HEADER.size)
+            .reshape(nb, b)
+            .copy()
+        )
+        # prefix-fill invariant holds (insert fills first-empty,
+        # delete compacts) and stored tags are never zero
+        flt.fill = np.count_nonzero(flt.buckets, axis=1).astype(np.int8)
+        flt.occupied, flt.kicks, flt.failures = occ, kicks, fails
+        return flt

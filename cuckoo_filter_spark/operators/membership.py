@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, BooleanType, LongType, StructField, StructType,
+    ArrayType, BinaryType, BooleanType, LongType, StructField, StructType,
 )
 
 from cuckoo_filter_spark.config import CuckooConfig
@@ -198,15 +198,18 @@ class DistributedCuckooFilter:
         key_col: str,
         capacity: int,
         config: Optional[CuckooConfig] = None,
-        tree_depth: int = 2,
+        fan_in: int = 8,
         sorted_insert: bool = False,
     ) -> "DistributedCuckooFilter":
-        """Per-partition partial build + tree merge.
+        """Per-partition partial build + executor-side fan-in merge.
 
         No shuffle of keys: each input partition builds a partial
         filter of the FINAL geometry (merge requires identical
-        geometry), and only blobs move. Equivalent dataflow to the
-        reference's per-GPU build + union
+        geometry), and only blobs move — first into ``fan_in``
+        executor-side merge tasks, then the ≤fan_in survivors to
+        the driver. ONE Spark job, all-Arrow (the old RDD
+        ``treeReduce`` cost a job per level). Equivalent dataflow to
+        the reference's per-GPU build + union
         (``CuckooFilterMultiGPU.cuh:335-363``).
         """
         cfg = config or CuckooConfig()
@@ -222,16 +225,29 @@ class DistributedCuckooFilter:
             if rows:
                 yield pd.DataFrame({"blob": [flt.to_bytes()]})
 
-        blobs = (
+        def merge_all(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            acc = None
+            for pdf in iterator:
+                for b in pdf["blob"]:
+                    flt = CuckooFilter.from_bytes(b)
+                    if acc is None:
+                        acc = flt
+                    else:
+                        acc.merge_in_place(flt)
+            if acc is not None:
+                yield pd.DataFrame({"blob": [acc.to_bytes()]})
+
+        reduced = (
             df.select(key_col)
             .mapInPandas(partial, schema="blob binary")
-            .rdd.map(lambda r: r.blob)
+            .repartition(fan_in)
+            .mapInPandas(merge_all, schema="blob binary")
+            .collect()
         )
-        merged_blob = blobs.treeReduce(
-            lambda a, b: CuckooFilter.merge_blobs([a, b]).to_bytes(),
-            depth=tree_depth,
-        )
-        return DistributedCuckooFilter(CuckooFilter.from_bytes(merged_blob))
+        if not reduced:
+            return DistributedCuckooFilter(CuckooFilter(capacity, cfg))
+        merged = CuckooFilter.merge_blobs([r.blob for r in reduced])
+        return DistributedCuckooFilter(merged)
 
     # -- query ----------------------------------------------------------
 
@@ -493,15 +509,17 @@ class ShardedCuckooFilter:
             and cfg.bucket_policy == "xor"
         )
 
-        out_schema = StructType(
-            [StructField(key_col, LongType()), StructField(out_col, BooleanType())]
-        )
+        # one row per shard with list columns (exploded JVM-side):
+        # the Python→JVM boundary carries num_shards rows, not
+        # num_keys rows
+        pack_schema = StructType([
+            StructField("__keys", ArrayType(LongType())),
+            StructField("__res", ArrayType(BooleanType())),
+        ])
 
         def probe(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
-                return pd.DataFrame({key_col: [], out_col: []}).astype(
-                    {key_col: "int64", out_col: "bool"}
-                )
+                return pd.DataFrame({"__keys": [], "__res": []})
             if len(right) == 0:
                 res = np.zeros(len(left), dtype=bool)
             else:
@@ -514,7 +532,10 @@ class ShardedCuckooFilter:
                     res = getattr(flt, op + "_many")(
                         _keys_from_pdf(left, key_col)
                     )
-            return pd.DataFrame({key_col: left[key_col].to_numpy(), out_col: res})
+            return pd.DataFrame({
+                "__keys": [left[key_col].to_numpy(np.int64, copy=False)],
+                "__res": [res],
+            })
 
         routed = queries.select(key_col)
         if packed:
@@ -530,7 +551,12 @@ class ShardedCuckooFilter:
         return (
             routed.groupBy("__shard")
             .cogroup(self.shards.groupBy(F.col("shard_id").alias("__shard")))
-            .applyInPandas(probe, schema=out_schema)
+            .applyInPandas(probe, schema=pack_schema)
+            .select(F.explode(F.arrays_zip("__keys", "__res")).alias("z"))
+            .select(
+                F.col("z.__keys").alias(key_col),
+                F.col("z.__res").alias(out_col),
+            )
         )
 
     def contains(self, queries: DataFrame, out_col: str = "member") -> DataFrame:
@@ -683,21 +709,27 @@ class ShardedCuckooFilter:
 
         Functional update: produces a new shards DataFrame rather
         than mutating in place, so lineage/checkpointing stays
-        consistent. One cogroup pass emits both the per-key results
-        and the updated blobs (union schema, split afterwards).
-        """
+        consistent. One cogroup pass emits ONE row per shard —
+        updated blob + metrics + the per-key outcomes packed as
+        Arrow list columns — so the Python→JVM boundary carries
+        num_shards rows, not num_keys rows (numpy→Arrow list
+        conversion is vectorized; the old per-key pandas frame with
+        nullable object columns dominated delete wall time). The
+        per-key result DataFrame is recovered with a codegen'd
+        explode, and persisting the cogroup output caches only the
+        shard rows."""
         key_col = self.key_col
         cfg = self.config
 
         schema = StructType([
             StructField("shard_id", LongType()),
-            StructField(key_col, LongType()),
-            StructField("ok", BooleanType()),
             StructField("blob", BinaryType()),
             StructField("rows", LongType()),
             StructField("inserted", LongType()),
             StructField("kicks", LongType()),
             StructField("failures", LongType()),
+            StructField("del_keys", ArrayType(LongType())),
+            StructField("del_ok", ArrayType(BooleanType())),
         ])
 
         packed = (
@@ -707,7 +739,7 @@ class ShardedCuckooFilter:
 
         def apply_delete(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             shard_id = int(key[0])
-            frames = []
+            keys_arr = left[key_col].to_numpy(np.int64, copy=False)
             if len(right):
                 flt = CuckooFilter.from_bytes(right["blob"].iloc[0])
                 if len(left):
@@ -717,25 +749,23 @@ class ShardedCuckooFilter:
                         )
                     else:
                         ok = flt.delete_many(_keys_from_pdf(left, key_col))
-                    frames.append(pd.DataFrame({
-                        "shard_id": shard_id, key_col: left[key_col].to_numpy(),
-                        "ok": ok, "blob": None, "rows": None, "inserted": None,
-                        "kicks": None, "failures": None,
-                    }))
-                frames.append(pd.DataFrame({
-                    "shard_id": [shard_id], key_col: [None], "ok": [None],
-                    "blob": [flt.to_bytes()],
+                else:
+                    ok = np.zeros(0, dtype=bool)
+                return pd.DataFrame({
+                    "shard_id": [shard_id], "blob": [flt.to_bytes()],
                     "rows": [int(right["rows"].iloc[0])],
                     "inserted": [flt.occupied],
                     "kicks": [flt.kicks], "failures": [flt.failures],
-                }))
-            elif len(left):
-                frames.append(pd.DataFrame({
-                    "shard_id": shard_id, key_col: left[key_col].to_numpy(),
-                    "ok": False, "blob": None, "rows": None, "inserted": None,
-                    "kicks": None, "failures": None,
-                }))
-            return pd.concat(frames, ignore_index=True)
+                    "del_keys": [keys_arr], "del_ok": [ok],
+                })
+            # keys routed to a shard that never existed: all misses,
+            # no blob row (filtered out of new_shards below)
+            return pd.DataFrame({
+                "shard_id": [shard_id], "blob": [None], "rows": [0],
+                "inserted": [0], "kicks": [0], "failures": [0],
+                "del_keys": [keys_arr],
+                "del_ok": [np.zeros(len(keys_arr), dtype=bool)],
+            })
 
         routed = deletes.select(key_col)
         if packed:
@@ -753,7 +783,11 @@ class ShardedCuckooFilter:
             .applyInPandas(apply_delete, schema=schema)
             .persist()
         )
-        results = merged.filter(F.col("blob").isNull()).select(key_col, "ok")
+        results = merged.select(
+            F.explode(F.arrays_zip("del_keys", "del_ok")).alias("z")
+        ).select(
+            F.col("z.del_keys").alias(key_col), F.col("z.del_ok").alias("ok")
+        )
         new_shards = merged.filter(F.col("blob").isNotNull()).select(
             "shard_id", "blob", "rows", "inserted", "kicks", "failures"
         )
@@ -790,3 +824,116 @@ class ShardedCuckooFilter:
         """Parallel-sum of shard occupancy
         (``CuckooFilterMultiGPU.cuh:558-565``)."""
         return self.metrics().collect()[0]["occupied"]
+
+
+@dataclass
+class ShardedOffsetFilter:
+    """Distributed OffsetAltBucketPolicy filter
+    (``bucket_policies.cuh:190-351``): disjoint key-sharded
+    :class:`~cuckoo_filter_spark.core.offset.OffsetCuckooFilter`
+    blobs, same multisplit → all2all → local-op dataflow as
+    :class:`ShardedCuckooFilter`. Offset addressing has no JVM
+    packing twin (the choice-bit fp mutates on relocation), so build
+    and probe ship the 8-byte keys — still a single Exchange each,
+    with state living on executors."""
+
+    shards: DataFrame
+    num_shards: int
+    key_col: str = "key"
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        key_col: str,
+        capacity: int,
+        num_shards: int,
+        bits_per_tag: int = 16,
+        bucket_size: int = 4,
+    ) -> "ShardedOffsetFilter":
+        from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+        per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+
+        def build_shards(batches: "Iterator[pd.DataFrame]"):
+            from cuckoo_filter_spark.hashing import xxhash64_u64
+
+            per_shard: dict[int, list[np.ndarray]] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keys = _keys_from_pdf(pdf, key_col)
+                sids = xxhash64_u64(keys, seed=42).view(np.int64) % num_shards
+                order = np.argsort(sids, kind="stable")
+                sk, ss = keys[order], sids[order]
+                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+                for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ss)]):
+                    per_shard.setdefault(int(ss[b0]), []).append(sk[b0:b1])
+            for sid, chunks in per_shard.items():
+                flt = OffsetCuckooFilter(
+                    per_shard_cap, bits_per_tag=bits_per_tag,
+                    bucket_size=bucket_size,
+                )
+                rows = 0
+                inserted = 0
+                for chunk in chunks:
+                    rows += len(chunk)
+                    inserted += int(flt.insert_many(chunk).sum())
+                yield pd.DataFrame({
+                    "shard_id": [sid], "blob": [flt.to_bytes()],
+                    "rows": [rows], "inserted": [inserted],
+                    "kicks": [flt.kicks], "failures": [flt.failures],
+                })
+
+        shards = (
+            df.select(F.col(key_col))
+            .repartition(num_shards, shard_expr(key_col, num_shards))
+            .mapInPandas(build_shards, schema=_SHARD_SCHEMA)
+        )
+        return ShardedOffsetFilter(shards, num_shards, key_col)
+
+    def contains(self, queries: DataFrame, out_col: str = "member") -> DataFrame:
+        """Shard-routed batch membership (key → bool); per-shard
+        list-column results exploded JVM-side (see
+        :meth:`ShardedCuckooFilter._routed`)."""
+        from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+        key_col = self.key_col
+        pack_schema = StructType([
+            StructField("__keys", ArrayType(LongType())),
+            StructField("__res", ArrayType(BooleanType())),
+        ])
+
+        def probe(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left) == 0:
+                return pd.DataFrame({"__keys": [], "__res": []})
+            if len(right) == 0:
+                res = np.zeros(len(left), dtype=bool)
+            else:
+                flt = OffsetCuckooFilter.from_bytes(right["blob"].iloc[0])
+                res = flt.contains_many(_keys_from_pdf(left, key_col))
+            return pd.DataFrame({
+                "__keys": [left[key_col].to_numpy(np.int64, copy=False)],
+                "__res": [res],
+            })
+
+        return (
+            queries.select(key_col)
+            .withColumn("__shard", shard_expr(key_col, self.num_shards))
+            .groupBy("__shard")
+            .cogroup(self.shards.groupBy(F.col("shard_id").alias("__shard")))
+            .applyInPandas(probe, schema=pack_schema)
+            .select(F.explode(F.arrays_zip("__keys", "__res")).alias("z"))
+            .select(
+                F.col("z.__keys").alias(key_col),
+                F.col("z.__res").alias(out_col),
+            )
+        )
+
+    def metrics(self) -> DataFrame:
+        return self.shards.agg(
+            F.sum("rows").alias("rows"),
+            F.sum("inserted").alias("occupied"),
+            F.sum("kicks").alias("kicks"),
+            F.sum("failures").alias("failures"),
+            F.count("*").alias("num_shards"),
+        )

@@ -183,7 +183,16 @@ def ivf_topk(
     Candidate volume is ~corpus * nprobe / num_centroids per query.
     """
     rng = np.random.default_rng(seed)
-    sample = corpus.select(vec_col).limit(sample_rows).toPandas()
+    # Bernoulli row sample, NOT .limit(): limit takes the first
+    # partitions' rows, which is biased on any sorted/clustered
+    # corpus (e.g. already ordered by topic) and would skew the
+    # codebook. count() on parquet is metadata-only.
+    n_corpus = corpus.count()
+    frac = min(1.0, sample_rows * 1.2 / max(n_corpus, 1))
+    sample = (
+        corpus.select(vec_col).sample(fraction=frac, seed=seed)
+        .limit(sample_rows).toPandas()
+    )
     sm = _normalize(_matrix(sample[vec_col]).astype(np.float64))
     # spherical k-means on the sample
     cents = sm[rng.choice(len(sm), size=min(num_centroids, len(sm)),
@@ -248,26 +257,76 @@ def cosine_pairs_ge(
     block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 16,
 ) -> DataFrame:
-    """All (id_a < id_b) pairs with cosine >= threshold. When
-    block_col is given, only pairs within the same block are
-    considered (the standard blocking trick; an Exchange groups
-    blocks, then pairwise matmul per block)."""
+    """All (id_a < id_b) pairs with cosine >= threshold — EXACT.
+
+    With ``block_col``, only pairs within the same semantic block are
+    considered (user-supplied blocking; one Exchange, matmul per
+    block). Without it, the full n² pair space is covered by tiling:
+    rows are hashed into ``num_blocks`` tiles and every unordered
+    tile pair (bi <= bj) becomes one independent task computing a
+    bounded (n/B × n/B) matmul. Each row is replicated to B tasks
+    and each task holds at most two tiles, so memory per task is
+    O(n/B · dim) and parallelism is B(B+1)/2 — no task ever sees the
+    whole corpus, and every row pair lands in exactly one tile pair.
+    The n² FLOPs are inherent to the exact semantics; for the
+    sub-quadratic approximate path use MinHash/SimHash LSH
+    (``operators.dedup``) or :func:`lsh_bucket_topk` candidates.
+    """
 
     def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
         m = _normalize(_matrix(pdf[vec_col]).astype(np.float64))
         ids = pdf[id_col].to_numpy()
         sims = m @ m.T
         ia, ib = np.where(np.triu(sims >= threshold, k=1))
-        order = np.argsort(ids)
         return pd.DataFrame({
             "id_a": np.minimum(ids[ia], ids[ib]),
             "id_b": np.maximum(ids[ia], ids[ib]),
             "cosine": sims[ia, ib],
         })
 
-    grouped = (
-        corpus.groupBy(block_col) if block_col else
-        corpus.withColumn("__g", F.lit(0)).groupBy("__g")
+    if block_col:
+        return corpus.groupBy(block_col).applyInPandas(
+            pairs, schema="id_a long, id_b long, cosine double"
+        )
+
+    def tile_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        if bi == bj:
+            return pairs(key, pdf)
+        left = pdf[pdf["__tile"] == bi]
+        right = pdf[pdf["__tile"] == bj]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ml = _normalize(_matrix(left[vec_col]).astype(np.float64))
+        mr = _normalize(_matrix(right[vec_col]).astype(np.float64))
+        ila = left[id_col].to_numpy()
+        irb = right[id_col].to_numpy()
+        sims = ml @ mr.T
+        ia, ib = np.where(sims >= threshold)
+        return pd.DataFrame({
+            "id_a": np.minimum(ila[ia], irb[ib]),
+            "id_b": np.maximum(ila[ia], irb[ib]),
+            "cosine": sims[ia, ib],
+        })
+
+    spark = corpus.sparkSession
+    tile_list = [
+        (i, j) for i in range(num_blocks) for j in range(i, num_blocks)
+    ]
+    tiles = spark.createDataFrame(tile_list, "bi int, bj int")
+    tiled = corpus.select(id_col, vec_col).withColumn(
+        "__tile", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
     )
-    return grouped.applyInPandas(pairs, schema="id_a long, id_b long, cosine double")
+    # broadcast the B(B+1)/2-row tile table; each row joins the tile
+    # pairs it participates in (replication factor B)
+    rep = tiled.join(
+        F.broadcast(tiles),
+        (F.col("__tile") == F.col("bi")) | (F.col("__tile") == F.col("bj")),
+    )
+    return rep.groupBy("bi", "bj").applyInPandas(
+        tile_pairs, schema="id_a long, id_b long, cosine double"
+    )

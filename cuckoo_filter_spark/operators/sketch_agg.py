@@ -37,11 +37,15 @@ def aggregate_sketch(
     col: str,
     make_sketch: Callable[[], object],
     unsigned_keys: bool = True,
-    tree_depth: int = 2,
+    fan_in: int = 8,
 ):
-    """Build one sketch over df[col]: partial per partition, tree
-    merge of blobs. Returns the final deserialized sketch object."""
-    cls_holder = {}
+    """Build one sketch over df[col]: partial per partition, then a
+    two-stage merge entirely in the DataFrame API — partial blobs
+    are fanned into ``fan_in`` executor-side merge tasks and only
+    the ≤fan_in survivors reach the driver. ONE Spark job (the old
+    RDD ``treeReduce`` cost an extra job per level plus an
+    ``isEmpty`` job and bypassed Arrow). Returns the final
+    deserialized sketch object."""
 
     def partial(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sk = make_sketch()
@@ -54,18 +58,34 @@ def aggregate_sketch(
         if any_rows:
             yield pd.DataFrame({"blob": [sk.to_bytes()]})
 
-    blobs = df.select(col).mapInPandas(partial, "blob binary").rdd.map(lambda r: r.blob)
     proto = make_sketch()
     cls = type(proto)
 
-    def combine(a: bytes, b: bytes) -> bytes:
-        x = cls.from_bytes(a)
-        x.merge_in_place(cls.from_bytes(b))
-        return x.to_bytes()
+    def merge_all(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in iterator:
+            for b in pdf["blob"]:
+                sk = cls.from_bytes(b)
+                if acc is None:
+                    acc = sk
+                else:
+                    acc.merge_in_place(sk)
+        if acc is not None:
+            yield pd.DataFrame({"blob": [acc.to_bytes()]})
 
-    if blobs.isEmpty():
+    reduced = (
+        df.select(col)
+        .mapInPandas(partial, "blob binary")
+        .repartition(fan_in)
+        .mapInPandas(merge_all, "blob binary")
+        .collect()
+    )
+    if not reduced:
         return proto
-    return cls.from_bytes(blobs.treeReduce(combine, depth=tree_depth))
+    acc = cls.from_bytes(reduced[0].blob)
+    for r in reduced[1:]:
+        acc.merge_in_place(cls.from_bytes(r.blob))
+    return acc
 
 
 def grouped_sketch(

@@ -81,3 +81,41 @@ def test_offset_parameter_guards():
         OffsetCuckooFilter(1024, bits_per_tag=32)
     with pytest.raises(ValueError, match="bucket_size"):
         OffsetCuckooFilter(1024, bucket_size=128)
+
+
+def test_offset_serialization_roundtrip():
+    flt = OffsetCuckooFilter(20_000)
+    keys = _keys(12_000)
+    flt.insert_many(keys)
+    back = OffsetCuckooFilter.from_bytes(flt.to_bytes())
+    assert back.occupied == flt.occupied
+    assert np.array_equal(back.buckets, flt.buckets)
+    assert (back.contains_many(keys) == flt.contains_many(keys)).all()
+    import pytest
+
+    blob = flt.to_bytes()
+    stale = blob[:4] + bytes([1]) + blob[5:]
+    with pytest.raises(ValueError, match="version"):
+        OffsetCuckooFilter.from_bytes(stale)
+
+
+def test_sharded_offset_filter_spark(spark):
+    """Distributed offset-policy path: sharded build + routed
+    contains with zero false negatives and bounded FPR."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.membership import ShardedOffsetFilter
+
+    keys = _keys(20_000).view(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"key": keys}))
+    filt = ShardedOffsetFilter.build(df, "key", 30_000, 8)
+    m = filt.metrics().collect()[0]
+    assert m["num_shards"] == 8 and m["failures"] == 0
+    assert m["occupied"] == len(set(keys.tolist()))
+    pos = filt.contains(df.select("key"))
+    assert pos.filter(~F.col("member")).count() == 0
+    neg_keys = (_keys(20_000, seed=3) | np.uint64(1 << 63)).view(np.int64)
+    neg = spark.createDataFrame(pd.DataFrame({"key": neg_keys}))
+    fpr = filt.contains(neg).filter(F.col("member")).count() / 20_000
+    assert fpr <= 2.5 * (2 * 4 * 1.0 / (1 << 15))

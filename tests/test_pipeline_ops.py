@@ -247,3 +247,24 @@ def test_ivf_topk_recall(emb):
     for qid, _ in queries:
         a = approx[approx.query_id == qid].sort_values("rank")
         assert len(a) >= 1 and a.iloc[0]["vec_id"] == qid
+
+
+def test_cosine_pairs_tiled_matches_single_group(emb):
+    """The tiled exact all-pairs path (no block_col) must return
+    exactly the pairs a single in-memory matmul finds — every
+    unordered row pair lands in exactly one tile pair."""
+    out = (
+        similarity.cosine_pairs_ge(emb, 0.42, num_blocks=5)
+        .select("id_a", "id_b").toPandas()
+    )
+    got = set(map(tuple, out.to_numpy()))
+    pdf = emb.toPandas()
+    M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    ids = pdf["vec_id"].to_numpy()
+    ia, ib = np.where(np.triu(sims >= 0.42, k=1))
+    expect = {
+        (min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in zip(ia, ib)
+    }
+    assert got == expect and len(expect) > 0
