@@ -541,6 +541,30 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_kmer_pack_membership(spark, sf_dir):
+    """§2.5 ingest parity (kmc_to_binary.cpp:17-46): deterministic
+    21-mers are derived from each document (sha256 hex → ACGT),
+    2-bit packed into uint64 keys entirely in codegen
+    (``sources.kmers.packed_kmer_expr``), inserted into a cuckoo
+    filter, and all queried back (zero false negatives). DuckDB
+    reproduces the packing arithmetic exactly."""
+    from cuckoo_filter_spark.sources.kmers import packed_kmer_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kmers = docs.select(
+        "doc_id",
+        F.translate(
+            F.substring(F.sha2(F.col("text"), 256), 1, 21),
+            "0123456789abcdef", "ACGTACGTACGTACGT",
+        ).alias("kmer"),
+    )
+    keyed = kmers.withColumn("key", packed_kmer_expr(F.col("kmer"), k=21))
+    n = keyed.count()
+    filt = DistributedCuckooFilter.build(keyed, "key", _capacity(n), CFG)
+    out = filt.contains(keyed, "key")
+    return out.select("doc_id", "key", "member")
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = multimodal.attach_media(docs, "text", "doc_id")
@@ -642,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf": q_ann_ivf,
+        "kmer_pack_membership": q_kmer_pack_membership,
         "multimodal_features": q_multimodal_features,
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_events_per_user": q_top_events_per_user,
@@ -820,6 +845,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
             FROM r WHERE rank <= 5
+        """,
+        "kmer_pack_membership": f"""
+            WITH km AS (
+              SELECT doc_id,
+                     translate(substr(sha256(text), 1, 21),
+                               '0123456789abcdef', 'ACGTACGTACGTACGT') AS kmer
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST({' + '.join(
+                       f"(strpos('ACGT', substr(kmer, {i + 1}, 1)) - 1) "
+                       f"* {4 ** (20 - i)}" for i in range(21)
+                   )} AS BIGINT) AS key,
+                   TRUE AS member
+            FROM km
         """,
         "multimodal_features": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

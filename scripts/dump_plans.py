@@ -104,6 +104,47 @@ def main():
         cap_explain(q1),
     ))
 
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from cuckoo_filter_spark.operators import dedup, similarity
+
+    pairs = similarity.cosine_pairs_ge(emb, 0.42, num_blocks=4)
+    sections.append((
+        "Tiled exact cosine pairs (round 2): NO CartesianProduct and "
+        "no single-group concentration — a BroadcastNestedLoopJoin "
+        "against the tiny B(B+1)/2-row tile table replicates each "
+        "row to its B tile pairs, then ONE Exchange groups tile "
+        "pairs for bounded (n/B x n/B) matmuls in "
+        "FlatMapGroupsInPandas. Memory per task is two tiles, never "
+        "the corpus.",
+        cap_explain(pairs),
+    ))
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nd = dedup.near_dup_pairs(docs, "text", "doc_id", threshold=0.85,
+                              num_hashes=128, bands=32)
+    sections.append((
+        "MinHash near-dup pipeline (round 2): banded LSH candidate "
+        "join (SortMergeJoin/ShuffledHashJoin on (band, bkey) — no "
+        "cartesian), then the codegen'd signature-agreement "
+        "prefilter (`zip_with` + `size(filter(...))` in Project — "
+        "zero Python), and only survivors reach the Python exact "
+        "verifier. Look for: joins keyed on band/bkey, the zip_with "
+        "Project, FlatMapGroupsInPandas absent until the final "
+        "verify.",
+        cap_explain(nd),
+    ))
+
+    del_res, newf = filt.delete(keys.limit(1000))
+    sections.append((
+        "Sharded delete results (round 2): FlatMapCoGroupsInPandas "
+        "emits ONE row per shard (blob + Arrow list columns); the "
+        "per-key result frame is recovered by a codegen'd "
+        "Generate explode(arrays_zip(...)) — the Python-JVM "
+        "boundary carries num_shards rows, not num_keys rows.",
+        cap_explain(del_res),
+    ))
+    newf.release()
+
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (`explain formatted`)\n\n")
         f.write(
