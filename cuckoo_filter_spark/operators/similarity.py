@@ -183,16 +183,20 @@ def ivf_topk(
     Candidate volume is ~corpus * nprobe / num_centroids per query.
     """
     rng = np.random.default_rng(seed)
-    # Bernoulli row sample, NOT .limit(): limit takes the first
-    # partitions' rows, which is biased on any sorted/clustered
-    # corpus (e.g. already ordered by topic) and would skew the
-    # codebook. count() on parquet is metadata-only.
+    # Hash-gated row sample, NOT .limit() (biased on any
+    # sorted/clustered corpus) and NOT .sample() (partition-layout
+    # dependent, so the codebook would differ across sessions):
+    # xxhash64 of the row id is content-deterministic regardless of
+    # parallelism. count() on parquet is metadata-only.
     n_corpus = corpus.count()
     frac = min(1.0, sample_rows * 1.2 / max(n_corpus, 1))
-    sample = (
-        corpus.select(vec_col).sample(fraction=frac, seed=seed)
-        .limit(sample_rows).toPandas()
-    )
+    gate = F.pmod(
+        F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 20)
+    ) < int(frac * (1 << 20))
+    # no .limit() after the gate — limit takes partition-order-
+    # dependent rows; the gate already bounds the sample to
+    # ~1.2x sample_rows
+    sample = corpus.filter(gate).select(vec_col).toPandas()
     sm = _normalize(_matrix(sample[vec_col]).astype(np.float64))
     # spherical k-means on the sample
     cents = sm[rng.choice(len(sm), size=min(num_centroids, len(sm)),

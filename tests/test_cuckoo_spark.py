@@ -176,3 +176,15 @@ def test_documents_view_keys(spark):
         expect = key_from_content(r.content)
         signed = expect - (1 << 64) if expect >= 1 << 63 else expect
         assert r.key == signed
+
+
+def test_merged_build_empty_input(spark):
+    filt = DistributedCuckooFilter.build(
+        spark.createDataFrame([], "key long"), "key", 4096, CFG
+    )
+    assert filt.filter.occupied == 0
+    import numpy as np
+
+    assert not filt.filter.contains_many(
+        np.arange(1, 100, dtype=np.uint64)
+    ).any()

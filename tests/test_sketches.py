@@ -272,3 +272,14 @@ def test_grouped_sketch_partial_matches_direct(spark, sf_dir):
         docs, ["lang"], "key", lambda: HyperLogLog(12), fin, "est long"
     ).collect()
     assert {(r.lang, r.est) for r in a} == {(r.lang, r.est) for r in b}
+
+
+def test_aggregate_sketch_empty_input(spark):
+    """The fan-in reduce path must return the prototype sketch on an
+    empty DataFrame (no partials to merge)."""
+    from cuckoo_filter_spark.core.hll import HyperLogLog
+    from cuckoo_filter_spark.operators.sketch_agg import aggregate_sketch
+
+    df = spark.createDataFrame([], "key long")
+    hll = aggregate_sketch(df, "key", lambda: HyperLogLog(12))
+    assert hll.estimate() == 0.0
