@@ -519,7 +519,14 @@ class ShardedCuckooFilter:
 
         def probe(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
-                return pd.DataFrame({"__keys": [], "__res": []})
+                # dtype=object, NOT the float64 pandas defaults for
+                # empty columns — Arrow cannot convert float64 to the
+                # list<int64>/list<bool> output schema (hit whenever a
+                # shard receives zero probe keys)
+                return pd.DataFrame({
+                    "__keys": pd.Series([], dtype=object),
+                    "__res": pd.Series([], dtype=object),
+                })
             if len(right) == 0:
                 res = np.zeros(len(left), dtype=bool)
             else:
@@ -800,6 +807,144 @@ class ShardedCuckooFilter:
         out._delete_src = merged  # release() drops the persisted plan
         return results, out
 
+    def delete_broadcast(
+        self, deletes: DataFrame
+    ) -> tuple[DataFrame, "ShardedCuckooFilter"]:
+        """Zero-sort functional delete for broadcastable state (the
+        same regime as :meth:`contains_broadcast`): shard blobs ride
+        a broadcast variable, delete keys take ONE hash Exchange to
+        their shard's partition (plain repartition — no cogroup, so
+        no per-partition sort of the key stream), and each task
+        applies the batch delete for the shards it owns, emitting
+        one row per touched shard (new blob + packed results).
+        Untouched shards pass through driver-side. Use :meth:`delete`
+        (cogroup-routed) when the filter is too big to broadcast.
+
+        Measured (16M keys, 64 shards ~34 MB state, local[32],
+        best-of-3): routed 3.38M deletes/s vs broadcast 2.23M/s —
+        the per-call state collect+broadcast costs more than the
+        cogroup sort it avoids, so the routed path stays the bench
+        default; this path wins only when deletes arrive as many
+        small batches against the same filter (state broadcast once,
+        e.g. streaming micro-batches)."""
+        key_col = self.key_col
+        cfg = self.config
+        spark = deletes.sparkSession
+        num_shards = self.num_shards
+        packed = (
+            self.shard_num_buckets is not None
+            and cfg.bucket_policy == "xor"
+        )
+        full_rows = {
+            int(r.shard_id): (
+                bytes(r.blob), int(r.rows), int(r.inserted),
+                int(r.kicks), int(r.failures),
+            )
+            for r in self.shards.collect()
+        }
+        # workers only need (blob, rows); metrics stay driver-side
+        bc = spark.sparkContext.broadcast(
+            {sid: (v[0], v[1]) for sid, v in full_rows.items()}
+        )
+
+        schema = StructType([
+            StructField("shard_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("rows", LongType()),
+            StructField("inserted", LongType()),
+            StructField("kicks", LongType()),
+            StructField("failures", LongType()),
+            StructField("del_keys", ArrayType(LongType())),
+            StructField("del_ok", ArrayType(BooleanType())),
+        ])
+
+        def apply_delete(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            per_shard: dict[int, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                sids = pdf["__shard"].to_numpy(np.int64, copy=False)
+                keys = pdf[key_col].to_numpy(np.int64, copy=False)
+                vals = (
+                    pdf["__packed"].to_numpy(np.int64, copy=False)
+                    if packed else keys
+                )
+                order = np.argsort(sids, kind="stable")
+                ss = sids[order]
+                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+                for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ss)]):
+                    per_shard.setdefault(int(ss[b0]), []).append(
+                        (keys[order[b0:b1]], vals[order[b0:b1]])
+                    )
+            state = bc.value
+            for sid, chunks in per_shard.items():
+                keys_arr = np.concatenate([k for k, _ in chunks])
+                vals_arr = np.concatenate([v for _, v in chunks])
+                if sid in state:
+                    flt = CuckooFilter.from_bytes(state[sid][0])
+                    ok = (
+                        flt.delete_packed(vals_arr) if packed
+                        else flt.delete_many(keys_to_unsigned(vals_arr))
+                    )
+                    yield pd.DataFrame({
+                        "shard_id": [sid], "blob": [flt.to_bytes()],
+                        "rows": [state[sid][1]], "inserted": [flt.occupied],
+                        "kicks": [flt.kicks], "failures": [flt.failures],
+                        "del_keys": [keys_arr], "del_ok": [ok],
+                    })
+                else:
+                    yield pd.DataFrame({
+                        "shard_id": [sid], "blob": [None], "rows": [0],
+                        "inserted": [0], "kicks": [0], "failures": [0],
+                        "del_keys": [keys_arr],
+                        "del_ok": [np.zeros(len(keys_arr), dtype=bool)],
+                    })
+
+        routed = deletes.select(key_col)
+        if packed:
+            from cuckoo_filter_spark.hashing import packed_expr
+
+            routed = routed.withColumn(
+                "__packed",
+                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag),
+            )
+        touched = (
+            routed.withColumn("__shard", shard_expr(key_col, num_shards))
+            .repartition(num_shards, "__shard")
+            .mapInPandas(apply_delete, schema=schema)
+            .persist()
+        )
+        results = touched.select(
+            F.explode(F.arrays_zip("del_keys", "del_ok")).alias("z")
+        ).select(
+            F.col("z.del_keys").alias(key_col), F.col("z.del_ok").alias("ok")
+        )
+        touched_ids = {
+            int(r.shard_id)
+            for r in touched.select("shard_id").distinct().collect()
+        }
+        untouched = [
+            (sid, bytearray(v[0]), v[1], v[2], v[3], v[4])
+            for sid, v in full_rows.items()
+            if sid not in touched_ids
+        ]
+        new_shards = touched.filter(F.col("blob").isNotNull()).select(
+            "shard_id", "blob", "rows", "inserted", "kicks", "failures"
+        )
+        if untouched:
+            extra = spark.createDataFrame(
+                untouched,
+                "shard_id long, blob binary, rows long, inserted long, "
+                "kicks long, failures long",
+            )
+            new_shards = new_shards.unionByName(extra)
+        out = ShardedCuckooFilter(
+            new_shards, num_shards, cfg, key_col,
+            shard_num_buckets=self.shard_num_buckets,
+        )
+        out._delete_src = touched
+        return results, out
+
     def release(self) -> None:
         """Unpersist the cached delete plan backing this filter (if
         any). Call when a filter produced by :meth:`delete` is no
@@ -905,7 +1050,14 @@ class ShardedOffsetFilter:
 
         def probe(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
-                return pd.DataFrame({"__keys": [], "__res": []})
+                # dtype=object, NOT the float64 pandas defaults for
+                # empty columns — Arrow cannot convert float64 to the
+                # list<int64>/list<bool> output schema (hit whenever a
+                # shard receives zero probe keys)
+                return pd.DataFrame({
+                    "__keys": pd.Series([], dtype=object),
+                    "__res": pd.Series([], dtype=object),
+                })
             if len(right) == 0:
                 res = np.zeros(len(left), dtype=bool)
             else:

@@ -188,3 +188,29 @@ def test_merged_build_empty_input(spark):
     assert not filt.filter.contains_many(
         np.arange(1, 100, dtype=np.uint64)
     ).any()
+
+
+def test_delete_broadcast_matches_routed(spark, repo_df):
+    """delete_broadcast (zero-sort, broadcast state) must agree with
+    the cogroup-routed delete: same per-key outcomes, same surviving
+    membership, untouched shards pass through with metrics intact."""
+    sharded = ShardedCuckooFilter.build(repo_df, "key", CAPACITY, 8, CFG).persist()
+    # delete only keys of ~half the shards so some shards are untouched
+    evens = repo_df.filter(F.pmod(F.xxhash64("key"), 4) == 0).select("key")
+    n_even = evens.count()
+    odds = repo_df.join(evens, "key", "left_anti").select("key")
+
+    r1, f1 = sharded.delete(evens)
+    r2, f2 = sharded.delete_broadcast(evens)
+    assert f2.shard_num_buckets == sharded.shard_num_buckets
+    ok1 = {(r.key, r.ok) for r in r1.collect()}
+    ok2 = {(r.key, r.ok) for r in r2.collect()}
+    assert ok1 == ok2 and len(ok2) == n_even
+    assert f1.total_occupied() == f2.total_occupied()
+    m2 = f2.metrics().collect()[0]
+    assert m2["num_shards"] == 8 and m2["rows"] == repo_df.count()
+    # surviving keys all still found through the new filter
+    still = f2.contains(odds)
+    assert still.filter(~F.col("member")).count() == 0
+    f1.release()
+    f2.release()
