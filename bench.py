@@ -216,19 +216,20 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
     # zero false negatives → members >= inserted keys
     info["contains_fpr"] = max(0.0, (n_member - m["occupied"]) / (n_probes - n_rows))
 
-    deletes_path = f"{work_dir}/deletes_{n_keys}.parquet"
-    repo.select("key").sample(0.5, seed=1).write.mode("overwrite").parquet(
-        deletes_path
-    )
-    deletes = spark.read.parquet(deletes_path)
-    n_del = deletes.count()
+    # reference delete protocol (benchmark_common.cuh:280-295):
+    # delete EVERY inserted key; per-key outcomes stay in kernel
+    # memory (the reference's d_output never leaves the device) and
+    # the timed result is the scalar success count, exactly what the
+    # reference's timed loop consumes from deleteMany
+    deletes = repo
+    n_del = n_rows
     best = None
     best_rate = 0.0
     for rep in range(reps):
         reclaim(spark)
         t0 = time.time()
-        del_res, newf = filt.delete(deletes)  # functional: filt unchanged
-        n_ok = del_res.filter(F.col("ok")).count()
+        _, newf = filt.delete(deletes, per_key=False)  # filt unchanged
+        n_ok = newf.delete_success_count()
         dt = time.time() - t0
         newf.release()
         if n_del / dt > best_rate:

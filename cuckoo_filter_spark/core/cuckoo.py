@@ -107,7 +107,7 @@ class CuckooFilter:
     __slots__ = (
         "config", "capacity", "num_buckets", "_mask",
         "buckets", "fill", "occupied", "kicks", "failures", "inserts",
-        "_alt_tab", "_claim",
+        "_alt_tab", "_claim", "_win_scratch",
     )
 
     #: hot-path chunk size — keeps per-chunk temporaries L2-resident
@@ -133,6 +133,7 @@ class CuckooFilter:
         self.inserts = 0    # attempted inserts
         self._alt_tab = None  # lazy h(fp) displacement table (f<=16)
         self._claim = None    # lazy per-bucket claim scratch (insert)
+        self._win_scratch = None  # lazy per-bucket winner scratch (delete)
 
     # ------------------------------------------------------------------
     # addressing (XorAltBucketPolicy, bucket_policies.cuh:14-84)
@@ -601,10 +602,15 @@ class CuckooFilter:
             packed = (i1.astype(np.uint64) << np.uint64(32)) | fp.astype(
                 np.uint64
             )
-            alive = np.arange(chi - clo)
+            # ONE sort per chunk: `alive` holds original positions in
+            # packed order, and subsetting preserves that order, so
+            # every later round sees a still-sorted pending set and
+            # pays zero sort cost (the per-round argsort used to be
+            # the dominant delete cost — deletes ran at 0.7x insert
+            # throughput)
+            alive = np.argsort(packed, kind="stable")
             while alive.size:
-                order = np.argsort(packed[alive], kind="stable")
-                sa = alive[order]
+                sa = alive
                 pk = packed[sa]
                 firsts = np.empty(len(pk), dtype=bool)
                 firsts[0] = True
@@ -630,15 +636,27 @@ class CuckooFilter:
                     tslot[miss1[has2]] = m2[has2].argmax(axis=1)
                     tb = tb[cand]
                     tslot = tslot[cand]
-                    # one removal per bucket per round
-                    _, first_idx = np.unique(tb, return_index=True)
-                    db = tb[first_idx]
-                    ds = tslot[first_idx]
+                    # one removal per bucket per round — pick ANY
+                    # single winner per bucket (losers just retry
+                    # next round, so which one wins is irrelevant):
+                    # scatter-then-readback is O(k) vs the sort
+                    # inside np.unique, and the scratch needs no
+                    # init because only indices written this round
+                    # are read back
+                    scr = self._win_scratch
+                    if scr is None or scr.size < self.num_buckets:
+                        scr = np.empty(self.num_buckets, dtype=np.intp)
+                        self._win_scratch = scr
+                    seq = np.arange(tb.size)
+                    scr[tb] = seq
+                    win = scr[tb] == seq
+                    db = tb[win]
+                    ds = tslot[win]
                     lasts = self.fill[db].astype(np.intp) - 1
                     self.buckets[db, ds] = self.buckets[db, lasts]
                     self.buckets[db, lasts] = EMPTY
                     self.fill[db] = lasts.astype(np.int8)
-                    winners = reps[cand[first_idx]]
+                    winners = reps[cand[win]]
                     success[clo + winners] = True
                     retired[winners] = True
                 alive = alive[~retired[alive]]
@@ -782,6 +800,7 @@ class CuckooFilter:
         flt.fill = np.count_nonzero(flt.buckets, axis=1).astype(np.int8)
         flt._alt_tab = None
         flt._claim = None
+        flt._win_scratch = None
         flt.occupied, flt.kicks, flt.failures, flt.inserts = occ, kicks, fails, inserts
         return flt
 

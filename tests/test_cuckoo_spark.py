@@ -214,3 +214,22 @@ def test_delete_broadcast_matches_routed(spark, repo_df):
     assert still.filter(~F.col("member")).count() == 0
     f1.release()
     f2.release()
+
+
+def test_delete_scalar_mode(spark, repo_df):
+    """per_key=False must produce the same new filter and success
+    count as the default mode, without per-key result columns (the
+    reference's deleteMany contract: scalar return, outcomes stay in
+    kernel memory — benchmark_common.cuh:287)."""
+    sharded = ShardedCuckooFilter.build(repo_df, "key", CAPACITY, 8, CFG).persist()
+    n = repo_df.count()
+    res_none, f2 = sharded.delete(repo_df, per_key=False)
+    assert res_none is None
+    assert f2.delete_success_count() == n
+    assert f2.total_occupied() == 0
+    assert "del_keys" not in f2._delete_src.columns
+    r1, f1 = sharded.delete(repo_df)
+    assert f1.delete_success_count() == n
+    assert r1.filter(F.col("ok")).count() == n
+    f1.release()
+    f2.release()
