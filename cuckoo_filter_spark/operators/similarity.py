@@ -318,19 +318,26 @@ def cosine_pairs_ge(
         })
 
     spark = corpus.sparkSession
-    tile_list = [
-        (i, j) for i in range(num_blocks) for j in range(i, num_blocks)
+    # unpivoted tile-pair membership (pair -> the 1-2 tiles it reads):
+    # joining on the single equality column keeps this a
+    # BroadcastHashJoin — an OR of two equalities can't hash-join and
+    # planned as BroadcastNestedLoopJoin (every row scanned against
+    # all B(B+1)/2 pairs)
+    members = [
+        (i, j, t)
+        for i in range(num_blocks)
+        for j in range(i, num_blocks)
+        for t in ({i, j})
     ]
-    tiles = spark.createDataFrame(tile_list, "bi int, bj int")
+    tiles = spark.createDataFrame(members, "bi int, bj int, tile int")
     tiled = corpus.select(id_col, vec_col).withColumn(
         "__tile", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).cast("int")
     )
-    # broadcast the B(B+1)/2-row tile table; each row joins the tile
-    # pairs it participates in (replication factor B)
+    # each row joins the tile pairs it participates in (replication
+    # factor B)
     rep = tiled.join(
-        F.broadcast(tiles),
-        (F.col("__tile") == F.col("bi")) | (F.col("__tile") == F.col("bj")),
-    )
+        F.broadcast(tiles), F.col("__tile") == F.col("tile")
+    ).drop("tile")
     return rep.groupBy("bi", "bj").applyInPandas(
         tile_pairs, schema="id_a long, id_b long, cosine double"
     )
