@@ -330,6 +330,12 @@ def main():
         ),
         "queries_per_sec": round(out["info"]["queries_per_sec"]),
         "deletes_per_sec": round(out["info"]["deletes_per_sec"]),
+        # delete protocol 2 (round 2): delete EVERY inserted key,
+        # scalar success count (reference benchmark_common.cuh:280).
+        # proto-1 history rows deleted a 50% sample + exploded
+        # per-key results — not rate-comparable, so the history
+        # merge only compares like-for-like (scaling_bench.py)
+        "delete_proto": 2,
         "load_factor": round(out["info"]["load_factor"], 4),
         "insert_success_rate": round(out["info"]["insert_success_rate"], 6),
         "delete_success_rate": round(out["info"]["delete_success_rate"], 6),
