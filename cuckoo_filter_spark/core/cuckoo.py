@@ -287,11 +287,16 @@ class CuckooFilter:
         if not idx.size:
             return placed
         choice = room.argmax(axis=1)[idx]
-        # serialize same-(bucket, slot) evictors: first wins this pass
-        addr = cur[idx] * b + choice
-        _, first = np.unique(addr, return_index=True)
-        sel = np.sort(first)
-        act, aslot = idx[sel], choice[sel]
+        # serialize same-bucket evictors: claim-scatter race (losers
+        # fall back to the DFS chain, as in the reference)
+        if self._claim is None:
+            self._claim = np.empty(self.num_buckets, dtype=np.int64)
+        claim = self._claim
+        cb = cur[idx]
+        seq = np.arange(len(cb))
+        claim[cb] = seq
+        win = claim[cb] == seq
+        act, aslot = idx[win], choice[win]
         victims = self.buckets[cur[act], aslot].copy()
         ok = self._place_batch(valt[act, aslot], victims)
         moved = act[ok]
@@ -337,13 +342,20 @@ class CuckooFilter:
                     )
                 break
             cp = cur[pending]
-            # serialize same-(bucket,slot) evictors: first wins this round
             slot = (tag[pending].astype(np.int64) + kicks_done[pending] * 7) & (b - 1)
-            addr = cp * b + slot
-            _, first = np.unique(addr, return_index=True)
-            sel = np.sort(first)
-            act = pending[sel]
-            aslot = slot[sel]
+            # serialize same-bucket evictors with the claim-scatter
+            # race (losers just retry next round — WHICH key evicts
+            # first is arbitrary, exactly like the reference's CAS):
+            # O(k) vs the sort inside np.unique, which was ~20% of
+            # insert wall time at 0.95 load
+            if self._claim is None:
+                self._claim = np.empty(self.num_buckets, dtype=np.int64)
+            claim = self._claim
+            idxs = np.arange(len(cp))
+            claim[cp] = idxs
+            win = claim[cp] == idxs
+            act = pending[win]
+            aslot = slot[win]
             victims = self.buckets[cur[act], aslot].copy()
             self.buckets[cur[act], aslot] = tag[act]
             tag[act] = victims
