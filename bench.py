@@ -189,7 +189,15 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
         bm = bfilt.metrics().collect()[0]
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
-    assert bm["occupied"] == m["occupied"]
+    # occupancy conservation: every key either occupies a slot or is
+    # a counted kick-chain failure. Exact occupied equality between
+    # the two builds is NOT an invariant at 0.95 load — which chain
+    # exhausts max_kicks depends on arrival order (the reference's
+    # CAS race is equally nondeterministic; success rate is a
+    # reported metric, benchmark_common.cuh:331-339)
+    assert bm["occupied"] + bm["failures"] == n_rows, (bm["occupied"], bm["failures"])
+    assert m["occupied"] + m["failures"] == n_rows, (m["occupied"], m["failures"])
+    assert abs(bm["occupied"] - m["occupied"]) <= 64
     timings["cuckoo_insert_bucketed"] = best
     info["inserts_bucketed_per_sec"] = n_rows / best
 

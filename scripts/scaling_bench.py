@@ -47,8 +47,13 @@ def run(cpus: int, n_keys: int, reps: int = 4) -> dict:
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line)
+    stdout = out.stdout.strip()
+    if not stdout:
+        raise RuntimeError(
+            f"bench.py (cpus={cpus}, n_keys={n_keys}) produced no "
+            f"output; stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(stdout.splitlines()[-1])
 
 
 def best_batch_eff(history, small, big, op) -> tuple[float, int] | None:
