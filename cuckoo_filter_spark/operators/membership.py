@@ -1128,6 +1128,74 @@ class ShardedOffsetFilter:
             )
         )
 
+    def delete(
+        self, deletes: DataFrame
+    ) -> tuple[DataFrame, "ShardedOffsetFilter"]:
+        """Functional shard-routed batch delete, completing the
+        reference's per-policy op set for Offset addressing
+        (``deleteMany`` over ``OffsetAltBucketPolicy``,
+        ``bucket_policies.cuh:190-351``): one cogroup pass
+        per-shard, multiset semantics with fp choice-bit flips
+        handled by the core kernel. Returns (per-key success DF,
+        new filter)."""
+        from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+        key_col = self.key_col
+        schema = StructType([
+            StructField("shard_id", LongType()),
+            StructField("blob", BinaryType()),
+            StructField("rows", LongType()),
+            StructField("inserted", LongType()),
+            StructField("kicks", LongType()),
+            StructField("failures", LongType()),
+            StructField("n_ok", LongType()),
+            StructField("del_keys", ArrayType(LongType())),
+            StructField("del_ok", ArrayType(BooleanType())),
+        ])
+
+        def apply_delete(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            shard_id = int(key[0])
+            keys_arr = left[key_col].to_numpy(np.int64, copy=False)
+            if len(right):
+                flt = OffsetCuckooFilter.from_bytes(right["blob"].iloc[0])
+                ok = (
+                    flt.delete_many(_keys_from_pdf(left, key_col))
+                    if len(left) else np.zeros(0, dtype=bool)
+                )
+                return pd.DataFrame({
+                    "shard_id": [shard_id], "blob": [flt.to_bytes()],
+                    "rows": [int(right["rows"].iloc[0])],
+                    "inserted": [flt.occupied],
+                    "kicks": [flt.kicks], "failures": [flt.failures],
+                    "n_ok": [int(ok.sum())],
+                    "del_keys": [keys_arr], "del_ok": [ok],
+                })
+            return pd.DataFrame({
+                "shard_id": [shard_id], "blob": [None], "rows": [0],
+                "inserted": [0], "kicks": [0], "failures": [0],
+                "n_ok": [0], "del_keys": [keys_arr],
+                "del_ok": [np.zeros(len(keys_arr), dtype=bool)],
+            })
+
+        merged = (
+            deletes.select(key_col)
+            .withColumn("__shard", shard_expr(key_col, self.num_shards))
+            .groupBy("__shard")
+            .cogroup(self.shards.groupBy(F.col("shard_id").alias("__shard")))
+            .applyInPandas(apply_delete, schema=schema)
+            .persist()
+        )
+        results = merged.select(
+            F.explode(F.arrays_zip("del_keys", "del_ok")).alias("z")
+        ).select(
+            F.col("z.del_keys").alias(key_col), F.col("z.del_ok").alias("ok")
+        )
+        new_shards = merged.filter(F.col("blob").isNotNull()).select(
+            "shard_id", "blob", "rows", "inserted", "kicks", "failures"
+        )
+        out = ShardedOffsetFilter(new_shards, self.num_shards, key_col)
+        return results, out
+
     def metrics(self) -> DataFrame:
         return self.shards.agg(
             F.sum("rows").alias("rows"),

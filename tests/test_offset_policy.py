@@ -119,3 +119,35 @@ def test_sharded_offset_filter_spark(spark):
     neg = spark.createDataFrame(pd.DataFrame({"key": neg_keys}))
     fpr = filt.contains(neg).filter(F.col("member")).count() / 20_000
     assert fpr <= 2.5 * (2 * 4 * 1.0 / (1 << 15))
+
+
+def test_sharded_offset_delete(spark):
+    """delete-then-requery parity for the distributed Offset path:
+    deleted keys vanish, survivors all remain (reference deleteMany
+    over OffsetAltBucketPolicy, bucket_policies.cuh:190-351)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.membership import ShardedOffsetFilter
+
+    keys = np.unique(_keys(20_000)).view(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"key": keys}))
+    built = ShardedOffsetFilter.build(df, "key", 30_000, 8)
+    sharded = ShardedOffsetFilter(
+        built.shards.persist(), built.num_shards, built.key_col
+    )
+    n = len(keys)
+    evens = df.filter(F.pmod(F.col("key"), 2) == 0).select("key")
+    odds = df.join(evens, "key", "left_anti").select("key")
+    n_even = evens.count()
+
+    res, newf = sharded.delete(evens)
+    assert res.filter(F.col("ok")).count() == n_even
+    m = newf.metrics().collect()[0]
+    assert m["occupied"] == n - n_even
+    # deleted keys (almost) all gone — residual hits are FPs only —
+    # and every survivor still found (zero false negatives)
+    gone = newf.contains(evens)
+    assert gone.filter(F.col("member")).count() <= int(0.01 * n_even) + 5
+    still = newf.contains(odds)
+    assert still.filter(~F.col("member")).count() == 0
