@@ -56,31 +56,30 @@ def run(cpus: int, n_keys: int, reps: int = 4) -> dict:
     return json.loads(stdout.splitlines()[-1])
 
 
-def best_batch_eff(history, small, big, op) -> tuple[float, int] | None:
-    """Best N→4N ratio taken WITHIN one invocation (same ``batch``):
+def batch_effs(history, small, big, op) -> list[tuple[float, int]]:
+    """All N→4N ratios taken WITHIN one invocation (same ``batch``):
     both sides sampled in the same machine phase, so the ~2x
-    cross-invocation drift cancels instead of poisoning the ratio.
-    Returns (efficiency, batch) or None if no batch has both sides.
+    cross-invocation drift mostly cancels instead of poisoning the
+    ratio (a ratio > 1 means the phase still shifted between the two
+    sides — that is why the median is reported next to the best).
     For deletes only protocol-matched pairs are compared."""
     s_recs = {r["batch"]: r for r in history.get(small, [])}
     b_recs = {r["batch"]: r for r in history.get(big, [])}
-    best = None
+    out = []
     for batch in s_recs.keys() & b_recs.keys():
         s, b = s_recs[batch], b_recs[batch]
         if op == "deletes_per_sec" and (
             s.get("delete_proto", 1) != b.get("delete_proto", 1)
         ):
             continue
-        eff = b[op] / (4 * s[op])
-        if best is None or eff > best[0]:
-            best = (eff, batch)
-    return best
+        out.append((b[op] / (4 * s[op]), batch))
+    return sorted(out)
 
 
 def pair_table(runs, history, small, big, label_small, label_big):
     lines = [
         f"| op | {label_small} | {label_big} | strong eff "
-        "| best same-batch eff | weak input | weak eff |",
+        "| same-batch eff best (median) | weak input | weak eff |",
         "|---|---|---|---|---|---|---|",
     ]
     effs = {}
@@ -89,10 +88,17 @@ def pair_table(runs, history, small, big, label_small, label_big):
         w = runs[small + "_weak"][op]
         strong_eff = b / (4 * s)
         weak_eff = b / (4 * w)
-        bb = best_batch_eff(history, small, big, op)
-        bb_cell = f"{bb[0]:.2f} (b{bb[1]})" if bb else "—"
+        bes = batch_effs(history, small, big, op)
+        if bes:
+            best, bb = bes[-1]
+            med = bes[len(bes) // 2][0]
+            bb_cell = f"{best:.2f} (med {med:.2f}, b{bb})"
+        else:
+            best = med = None
+            bb_cell = "—"
         effs[op] = (round(strong_eff, 3),
-                    round(bb[0], 3) if bb else None,
+                    round(best, 3) if best is not None else None,
+                    round(med, 3) if med is not None else None,
                     round(weak_eff, 3))
         lines.append(
             f"| {op} | {s:,} | {b:,} | {strong_eff:.2f} | {bb_cell} "
@@ -126,15 +132,18 @@ def kernel_history_tables() -> tuple[list[str], dict]:
         cells = [f"{max(r[op] for r in by_procs[procs]):,.0f}"
                  for op in KOPS]
         lines.append(f"| {procs} | " + " | ".join(cells) + " |")
-    effs: dict[str, dict[str, float]] = {op: {} for op in KOPS}
+    effs: dict[str, dict[str, str]] = {op: {} for op in KOPS}
     for lo, hi, tag in ((2, 8, "eff_2_to_8"), (8, 32, "eff_8_to_32")):
         for op in KOPS:
-            best = None
-            for batch, runs in by_batch.items():
-                if lo in runs and hi in runs:
-                    e = runs[hi][op] / (4 * runs[lo][op])
-                    best = e if best is None or e > best else best
-            effs[op][tag] = round(best, 3) if best is not None else None
+            es = sorted(
+                runs[hi][op] / (4 * runs[lo][op])
+                for runs in by_batch.values()
+                if lo in runs and hi in runs
+            )
+            effs[op][tag] = (
+                f"{es[-1]:.2f} (med {es[len(es) // 2]:.2f})"
+                if es else "—"
+            )
     return lines, effs
 
 
