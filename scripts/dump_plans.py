@@ -109,10 +109,11 @@ def main():
 
     pairs = similarity.cosine_pairs_ge(emb, 0.42, num_blocks=4)
     sections.append((
-        "Tiled exact cosine pairs (round 2): NO CartesianProduct and "
-        "no single-group concentration — a BroadcastNestedLoopJoin "
-        "against the tiny B(B+1)/2-row tile table replicates each "
-        "row to its B tile pairs, then ONE Exchange groups tile "
+        "Tiled exact cosine pairs (round 2): NO CartesianProduct, no "
+        "nested-loop join, no single-group concentration — a "
+        "BroadcastHashJoin on the unpivoted (pair, tile) membership "
+        "table replicates each row to its B tile pairs, then ONE "
+        "Exchange groups tile "
         "pairs for bounded (n/B x n/B) matmuls in "
         "FlatMapGroupsInPandas. Memory per task is two tiles, never "
         "the corpus.",
