@@ -134,3 +134,84 @@ def stream_exact_dedup(
     return stream_df.withWatermark(
         event_time_col, watermark
     ).dropDuplicatesWithinWatermark(key_cols)
+
+
+def stream_apply_ops(
+    stream_df: DataFrame,
+    key_col: str,
+    op_col: str,
+    capacity: int,
+    num_shards: int,
+    config=None,
+):
+    """Stateful streaming application of a mixed insert/delete op
+    stream — the full reference op set (``insertMany`` /
+    ``deleteMany``, multiset semantics) against long-lived sharded
+    filter state (``applyInPandasWithState``). Input rows are
+    ``(key, op)`` with op in {'insert','delete'}; output is
+    ``(key, op, shard, ok)``. Arrival order is preserved WITHIN each
+    micro-batch partition: consecutive same-op runs are applied as
+    one vectorized kernel call, so an insert followed by a delete of
+    the same key in one batch behaves exactly like the sequential
+    reference calls."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType, BooleanType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    from cuckoo_filter_spark.config import CuckooConfig
+    from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+    from cuckoo_filter_spark.hashing import keys_to_unsigned
+    from cuckoo_filter_spark.operators.membership import (
+        OVERPROVISION, shard_expr,
+    )
+
+    cfg = config or CuckooConfig()
+    per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("op", StringType()),
+        StructField("shard", LongType()),
+        StructField("ok", BooleanType()),
+    ])
+    state_schema = StructType([StructField("blob", BinaryType())])
+
+    def update(key, pdfs, state: GroupState):
+        shard_id = int(key[0])
+        if state.exists:
+            flt = CuckooFilter.from_bytes(bytes(state.get[0]))
+        else:
+            flt = CuckooFilter(per_shard_cap, cfg)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            raw = pdf[key_col].to_numpy(np.int64, copy=False)
+            ops = pdf[op_col].to_numpy()
+            keys = keys_to_unsigned(raw)
+            ok = np.zeros(len(raw), dtype=bool)
+            # apply consecutive same-op runs as one kernel call
+            bounds = np.flatnonzero(np.r_[True, ops[1:] != ops[:-1]])
+            for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ops)]):
+                seg = keys[b0:b1]
+                if ops[b0] == "insert":
+                    ok[b0:b1] = flt.insert_many(seg)
+                else:
+                    ok[b0:b1] = flt.delete_many(seg)
+            yield pd.DataFrame({
+                key_col: raw, "op": ops, "shard": shard_id, "ok": ok,
+            })
+        state.update((flt.to_bytes(),))
+
+    return (
+        stream_df.withColumn("__shard", shard_expr(key_col, num_shards))
+        .groupBy("__shard")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -125,3 +125,42 @@ def test_stream_build_sharded_stateful(spark, tmp_path):
         by_key.setdefault(r.key, []).append(r.fresh)
     # no key is fresh twice
     assert all(sum(v) <= 1 for v in by_key.values())
+
+
+def test_stream_apply_ops(spark, tmp_path):
+    """Mixed insert/delete op stream against stateful sharded
+    filters: batch 1 inserts, batch 2 deletes half — deletes
+    succeed for inserted keys and the state reflects removals in a
+    later batch (re-inserting a deleted key succeeds)."""
+    src_dir = str(tmp_path / "opsrc")
+    (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("key"), F.lit("insert").alias("op"))
+        .write.parquet(src_dir + "/b1")
+    )
+    (
+        spark.range(0, 500)
+        .select(F.col("id").alias("key"), F.lit("delete").alias("op"))
+        .write.parquet(src_dir + "/b2")
+    )
+    stream = (
+        spark.readStream.schema("key long, op string")
+        # one file per micro-batch: inserts land (and are committed
+        # to state) before the delete batch arrives
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    out = sm.stream_apply_ops(stream, "key", "op", 4096, 4, CFG)
+    q = (
+        out.writeStream.format("memory").queryName("apply_ops_t")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "opckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("apply_ops_t").collect()
+    assert len(rows) == 1500
+    ins = [r for r in rows if r.op == "insert"]
+    dels = [r for r in rows if r.op == "delete"]
+    assert len(ins) == 1000 and all(r.ok for r in ins)
+    assert len(dels) == 500 and all(r.ok for r in dels)
