@@ -306,9 +306,12 @@ def main():
             "fault bandwidth, so both sides of the pair are",
             "bandwidth-bound and the ratio compresses. The honest",
             "per-criterion evidence is therefore: kernel strong",
-            "2→8 (0.95-0.99) + Spark WEAK 2→8 (0.9-1.2, work/core",
-            "held constant — the faithful model of growing a",
-            "cluster with its data).",
+            "2→8 AND 8→32 (medians ≥0.83, §1) + Spark WEAK 2→8",
+            "(0.7-1.2, work/core held constant — the faithful",
+            "model of growing a cluster with its data). The",
+            "local[2] side additionally pays JVM service threads +",
+            "Python workers out of its 2-core taskset budget,",
+            "overhead a real 2-executor cluster would not bear.",
             "",
             *t64,
             "",
