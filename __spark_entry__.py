@@ -541,6 +541,54 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_tcf_membership(spark, sf_dir):
+    """Two-choice filter (the reference's bulk-tcf comparison
+    baseline, fpr_benchmark.cu:182-233): distributed mergeable
+    build over distinct document keys at the reference's 0.85
+    usable-capacity sizing, then a broadcast batched probe.
+    Deterministic facts: zero insert misses at the sized load
+    (measured zero with ample margin at sf0.01/sf0.1; b=32 blocks
+    absorb 0.85 load), zero false negatives, no eviction ever
+    (the TCF contract), and FPR on 20k disjoint negatives within
+    the published 2bα/2^f bound (5σ + slack margin)."""
+    from cuckoo_filter_spark.core.tcf import TwoChoiceFilter
+
+    docs = _docs(spark, sf_dir)
+    keys = docs.select("key").distinct()
+    n = keys.count()
+    tcf = aggregate_sketch(keys, "key", lambda: TwoChoiceFilter(n))
+    bc = spark.sparkContext.broadcast(tcf.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def member(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        flt = TwoChoiceFilter.from_bytes(bc.value)
+        for s in batches:
+            yield pd.Series(
+                flt.contains_many(keys_to_unsigned(s.to_numpy(np.int64)))
+            )
+
+    n_found = keys.select(member(F.col("key")).alias("m")).filter(
+        F.col("m")
+    ).count()
+    n_probes = 20000
+    fps = (
+        _negatives(spark, n_probes)
+        .select(member(F.col("key")).alias("m"))
+        .filter(F.col("m"))
+        .count()
+    )
+    eps = tcf.config.theoretical_fpr(tcf.occupied / tcf.slot_capacity)
+    limit = math.ceil(eps * n_probes + 5 * math.sqrt(eps * n_probes) + 5)
+    return spark.createDataFrame(
+        [(
+            n, bool(tcf.failures == 0), bool(n_found == n),
+            bool(tcf.kicks == 0), bool(fps <= limit),
+        )],
+        "n_keys long, zero_insert_misses boolean, all_found boolean, "
+        "no_evictions boolean, fpr_within_bound boolean",
+    )
+
+
 def q_kmer_pack_membership(spark, sf_dir):
     """§2.5 ingest parity (kmc_to_binary.cpp:17-46): deterministic
     21-mers are derived from each document (sha256 hex → ACGT),
@@ -666,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf": q_ann_ivf,
+        "tcf_membership": q_tcf_membership,
         "kmer_pack_membership": q_kmer_pack_membership,
         "multimodal_features": q_multimodal_features,
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -846,6 +895,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
             FROM r WHERE rank <= 5
         """,
+        "tcf_membership":
+            "SELECT count(DISTINCT text) AS n_keys, "
+            "TRUE AS zero_insert_misses, TRUE AS all_found, "
+            "TRUE AS no_evictions, TRUE AS fpr_within_bound "
+            "FROM documents",
         "kmer_pack_membership": f"""
             WITH km AS (
               SELECT doc_id,
