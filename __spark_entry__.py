@@ -394,17 +394,19 @@ def q_minhash_near_dups(spark, sf_dir):
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard >= 0.85, candidate-generated: MinHash-LSH
-    banding (32 bands x 8 rows — the threshold-optimal geometry for
-    t=0.85: random same-language char-3-gram pairs sit at J ~ 0.4,
-    where the candidate rate is ~2%, while P[miss | J >= 0.85] =
-    (1 - 0.85^8)^32 ≈ 4e-5 per pair) emits candidates, a codegen'd
-    signature-agreement prefilter drops the rest of the noise, and
-    survivors are EXACT-verified — reported Jaccard values are true
-    n-gram Jaccard. Output equals the all-pairs baseline without the
-    cartesian join (verified equal at sf0.01/sf0.1)."""
+    banding (64 bands x 8 rows: random same-language char-3-gram
+    pairs sit at J ~ 0.4, where the candidate rate is ~4%, while
+    P[miss | J >= 0.85] = (1 - 0.85^8)^64 ≈ 1.5e-9 per pair —
+    negligible even against thousands of qualifying pairs, since the
+    DuckDB oracle is true all-pairs Jaccard) emits candidates, a
+    codegen'd signature-agreement prefilter drops the rest of the
+    noise, and survivors are EXACT-verified — reported Jaccard
+    values are true n-gram Jaccard. Output equals the all-pairs
+    baseline without the cartesian join (verified equal at
+    sf0.01/sf0.1)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = dedup.near_dup_pairs(
-        docs, "text", "doc_id", threshold=0.85, num_hashes=256, bands=32
+        docs, "text", "doc_id", threshold=0.85, num_hashes=512, bands=64
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

@@ -62,7 +62,12 @@ class TwoChoiceFilter(CuckooFilter):
     def __init__(self, capacity: int, config: CuckooConfig | None = None):
         cfg = config or CuckooConfig(bits_per_tag=16, bucket_size=32)
         sized = int(np.ceil(capacity / TCF_CAPACITY_FACTOR))
+        # at least 2 buckets: the d >= 1 remap means every key's alt
+        # bucket differs from its primary, which a 1-bucket table
+        # cannot represent (index 1 would be out of bounds)
+        sized = max(sized, 2 * cfg.bucket_size)
         super().__init__(sized, cfg)
+        assert self.num_buckets >= 2
         self.capacity = int(capacity)
 
     # ------------------------------------------------------------------

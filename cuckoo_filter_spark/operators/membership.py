@@ -69,6 +69,16 @@ def _keys_from_pdf(pdf: pd.DataFrame, col: str) -> np.ndarray:
     return keys_to_unsigned(pdf[col].to_numpy(dtype=np.int64, copy=False))
 
 
+class _SortedInsertFilter(CuckooFilter):
+    """``add_many`` via the in-batch-sorted insert path
+    (insertManySorted) — lets :meth:`DistributedCuckooFilter.build`
+    reuse the generic mergeable-sketch aggregation with the sorted
+    placement kernel."""
+
+    def add_many(self, keys: np.ndarray) -> None:
+        self.insert_many_sorted(keys)
+
+
 def _arrow_shard_builder(per_shard_cap: int, cfg: CuckooConfig):
     """mapInArrow worker: group (__shard, __packed) batches by shard
     and run placement-only inserts (the hash chain already ran in
@@ -210,44 +220,21 @@ class DistributedCuckooFilter:
         the driver. ONE Spark job, all-Arrow (the old RDD
         ``treeReduce`` cost a job per level). Equivalent dataflow to
         the reference's per-GPU build + union
-        (``CuckooFilterMultiGPU.cuh:335-363``).
+        (``CuckooFilterMultiGPU.cuh:335-363``). Delegates to the
+        generic mergeable-sketch aggregation (``sketch_agg.
+        aggregate_sketch``) — the cuckoo filter IS a sketch under
+        that protocol.
         """
+        from cuckoo_filter_spark.operators.sketch_agg import aggregate_sketch
+
         cfg = config or CuckooConfig()
-
-        def partial(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            flt = CuckooFilter(capacity, cfg)
-            rows = 0
-            insert = flt.insert_many_sorted if sorted_insert else flt.insert_many
-            for pdf in iterator:
-                keys = _keys_from_pdf(pdf, key_col)
-                rows += len(keys)
-                insert(keys)
-            if rows:
-                yield pd.DataFrame({"blob": [flt.to_bytes()]})
-
-        def merge_all(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            acc = None
-            for pdf in iterator:
-                for b in pdf["blob"]:
-                    flt = CuckooFilter.from_bytes(b)
-                    if acc is None:
-                        acc = flt
-                    else:
-                        acc.merge_in_place(flt)
-            if acc is not None:
-                yield pd.DataFrame({"blob": [acc.to_bytes()]})
-
-        reduced = (
-            df.select(key_col)
-            .mapInPandas(partial, schema="blob binary")
-            .repartition(fan_in)
-            .mapInPandas(merge_all, schema="blob binary")
-            .collect()
+        make = (
+            (lambda: _SortedInsertFilter(capacity, cfg)) if sorted_insert
+            else (lambda: CuckooFilter(capacity, cfg))
         )
-        if not reduced:
-            return DistributedCuckooFilter(CuckooFilter(capacity, cfg))
-        merged = CuckooFilter.merge_blobs([r.blob for r in reduced])
-        return DistributedCuckooFilter(merged)
+        return DistributedCuckooFilter(
+            aggregate_sketch(df, key_col, make, fan_in=fan_in)
+        )
 
     # -- query ----------------------------------------------------------
 
@@ -342,6 +329,7 @@ class ShardedCuckooFilter:
     shard_num_buckets: Optional[int] = None
     _stacked: object = None  # cached (broadcast, nb, bs, dtype_name)
     _words: object = None    # cached (words DF, wpb, nb) for SQL probe
+    _del_state: object = None  # cached (full_rows, broadcast) for delete_broadcast
 
     @staticmethod
     def build(
@@ -853,9 +841,13 @@ class ShardedCuckooFilter:
         best-of-3): routed 3.38M deletes/s vs broadcast 2.23M/s —
         the per-call state collect+broadcast costs more than the
         cogroup sort it avoids, so the routed path stays the bench
-        default; this path wins only when deletes arrive as many
-        small batches against the same filter (state broadcast once,
-        e.g. streaming micro-batches)."""
+        default. This path wins when several independent delete sets
+        probe the SAME filter snapshot: the collect+broadcast is
+        cached on the instance (shards are immutable; delete returns
+        a NEW filter) so only the first call pays it. For a long
+        stream of mutating micro-batches, use
+        ``streaming.membership.stream_apply_ops`` — state there
+        lives on the executors and is never re-shipped."""
         key_col = self.key_col
         cfg = self.config
         spark = deletes.sparkSession
@@ -864,17 +856,22 @@ class ShardedCuckooFilter:
             self.shard_num_buckets is not None
             and cfg.bucket_policy == "xor"
         )
-        full_rows = {
-            int(r.shard_id): (
-                bytes(r.blob), int(r.rows), int(r.inserted),
-                int(r.kicks), int(r.failures),
+        if self._del_state is None:
+            full_rows = {
+                int(r.shard_id): (
+                    bytes(r.blob), int(r.rows), int(r.inserted),
+                    int(r.kicks), int(r.failures),
+                )
+                for r in self.shards.collect()
+            }
+            # workers only need (blob, rows); metrics stay driver-side
+            self._del_state = (
+                full_rows,
+                spark.sparkContext.broadcast(
+                    {sid: (v[0], v[1]) for sid, v in full_rows.items()}
+                ),
             )
-            for r in self.shards.collect()
-        }
-        # workers only need (blob, rows); metrics stay driver-side
-        bc = spark.sparkContext.broadcast(
-            {sid: (v[0], v[1]) for sid, v in full_rows.items()}
-        )
+        full_rows, bc = self._del_state
 
         schema = StructType([
             StructField("shard_id", LongType()),
@@ -993,13 +990,20 @@ class ShardedCuckooFilter:
         )
 
     def release(self) -> None:
-        """Unpersist the cached delete plan backing this filter (if
-        any). Call when a filter produced by :meth:`delete` is no
-        longer needed."""
+        """Drop the cached resources backing this filter: the
+        persisted delete plan (if this filter came from
+        :meth:`delete`) and any broadcast state created by
+        :meth:`contains_broadcast` / :meth:`delete_broadcast`."""
         src = getattr(self, "_delete_src", None)
         if src is not None:
             src.unpersist()
             self._delete_src = None
+        if self._stacked is not None:
+            self._stacked[0].unpersist()
+            self._stacked = None
+        if self._del_state is not None:
+            self._del_state[1].unpersist()
+            self._del_state = None
 
     # -- aggregates (CuckooFilterMultiGPU.cuh:520-592) --------------------
 
@@ -1194,7 +1198,26 @@ class ShardedOffsetFilter:
             "shard_id", "blob", "rows", "inserted", "kicks", "failures"
         )
         out = ShardedOffsetFilter(new_shards, self.num_shards, key_col)
+        out._delete_src = merged  # release() drops the persisted plan
         return results, out
+
+    def delete_success_count(self) -> int:
+        """Total successful removals from the delete that produced
+        this filter (scalar ``deleteMany`` return contract — see
+        :meth:`ShardedCuckooFilter.delete_success_count`)."""
+        if getattr(self, "_delete_src", None) is None:
+            raise ValueError("this filter was not produced by delete()")
+        return int(
+            self._delete_src.agg(F.sum("n_ok")).collect()[0][0] or 0
+        )
+
+    def release(self) -> None:
+        """Unpersist the cached delete plan backing this filter (if
+        any)."""
+        src = getattr(self, "_delete_src", None)
+        if src is not None:
+            src.unpersist()
+            self._delete_src = None
 
     def metrics(self) -> DataFrame:
         return self.shards.agg(

@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -190,9 +191,12 @@ def ivf_topk(
     # parallelism. count() on parquet is metadata-only.
     n_corpus = corpus.count()
     frac = min(1.0, sample_rows * 1.2 / max(n_corpus, 1))
+    # ceil + floor-at-1: int() truncation would zero the gate for
+    # corpora past ~2.5e10 rows (frac * 2^20 < 1 → empty sample →
+    # driver crash) and silently halve it near the boundary
     gate = F.pmod(
         F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 20)
-    ) < int(frac * (1 << 20))
+    ) < max(1, math.ceil(frac * (1 << 20)))
     # no .limit() after the gate — limit takes partition-order-
     # dependent rows; the gate already bounds the sample to
     # ~1.2x sample_rows

@@ -54,6 +54,11 @@ def packed_kmer_expr(col: Column, k: int | None = None) -> Column:
     )
     if k is not None:
         packed = F.when(F.length(col) == k, packed)
+    else:
+        # without a fixed k, enforce the 62-bit limit per row: a
+        # >31-char k-mer would shift its leading nucleotides out of
+        # the int64 and silently collide with a shorter k-mer's key
+        packed = F.when(F.length(col) <= 31, packed)
     return packed
 
 

@@ -143,17 +143,26 @@ def stream_apply_ops(
     capacity: int,
     num_shards: int,
     config=None,
+    seq_col: str | None = None,
 ):
     """Stateful streaming application of a mixed insert/delete op
     stream — the full reference op set (``insertMany`` /
     ``deleteMany``, multiset semantics) against long-lived sharded
     filter state (``applyInPandasWithState``). Input rows are
     ``(key, op)`` with op in {'insert','delete'}; output is
-    ``(key, op, shard, ok)``. Arrival order is preserved WITHIN each
-    micro-batch partition: consecutive same-op runs are applied as
-    one vectorized kernel call, so an insert followed by a delete of
-    the same key in one batch behaves exactly like the sequential
-    reference calls."""
+    ``(key, op, shard, ok)``.
+
+    Ordering: ops for one shard are applied in the order they are
+    DELIVERED to the state function. When a micro-batch's ops for
+    one key span several source partitions, the shuffle into the
+    shard group interleaves them nondeterministically — like any
+    distributed queue, cross-partition order is undefined. Pass
+    ``seq_col`` (an event sequence number / timestamp) to impose a
+    deterministic total order per shard: the batch is then sorted by
+    it before applying, so insert-then-delete of the same key in one
+    micro-batch behaves exactly like the sequential reference calls
+    regardless of partition layout. Consecutive same-op runs are
+    applied as one vectorized kernel call either way."""
     import math
 
     import numpy as np
@@ -181,30 +190,50 @@ def stream_apply_ops(
     ])
     state_schema = StructType([StructField("blob", BinaryType())])
 
+    def _apply(flt, raw, ops):
+        keys = keys_to_unsigned(raw)
+        ok = np.zeros(len(raw), dtype=bool)
+        # apply consecutive same-op runs as one kernel call
+        bounds = np.flatnonzero(np.r_[True, ops[1:] != ops[:-1]])
+        for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ops)]):
+            seg = keys[b0:b1]
+            if ops[b0] == "insert":
+                ok[b0:b1] = flt.insert_many(seg)
+            else:
+                ok[b0:b1] = flt.delete_many(seg)
+        return ok
+
     def update(key, pdfs, state: GroupState):
         shard_id = int(key[0])
         if state.exists:
             flt = CuckooFilter.from_bytes(bytes(state.get[0]))
         else:
             flt = CuckooFilter(per_shard_cap, cfg)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            raw = pdf[key_col].to_numpy(np.int64, copy=False)
-            ops = pdf[op_col].to_numpy()
-            keys = keys_to_unsigned(raw)
-            ok = np.zeros(len(raw), dtype=bool)
-            # apply consecutive same-op runs as one kernel call
-            bounds = np.flatnonzero(np.r_[True, ops[1:] != ops[:-1]])
-            for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ops)]):
-                seg = keys[b0:b1]
-                if ops[b0] == "insert":
-                    ok[b0:b1] = flt.insert_many(seg)
-                else:
-                    ok[b0:b1] = flt.delete_many(seg)
-            yield pd.DataFrame({
-                key_col: raw, "op": ops, "shard": shard_id, "ok": ok,
-            })
+        if seq_col is not None:
+            # deterministic total order: gather the shard's batch and
+            # sort by the caller's sequence column before applying
+            chunks = [pdf for pdf in pdfs if len(pdf)]
+            if chunks:
+                batch = (
+                    pd.concat(chunks, ignore_index=True)
+                    .sort_values(seq_col, kind="stable", ignore_index=True)
+                )
+                raw = batch[key_col].to_numpy(np.int64, copy=False)
+                ops = batch[op_col].to_numpy()
+                ok = _apply(flt, raw, ops)
+                yield pd.DataFrame({
+                    key_col: raw, "op": ops, "shard": shard_id, "ok": ok,
+                })
+        else:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                raw = pdf[key_col].to_numpy(np.int64, copy=False)
+                ops = pdf[op_col].to_numpy()
+                ok = _apply(flt, raw, ops)
+                yield pd.DataFrame({
+                    key_col: raw, "op": ops, "shard": shard_id, "ok": ok,
+                })
         state.update((flt.to_bytes(),))
 
     return (

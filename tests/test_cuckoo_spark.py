@@ -233,3 +233,20 @@ def test_delete_scalar_mode(spark, repo_df):
     assert r1.filter(F.col("ok")).count() == n
     f1.release()
     f2.release()
+
+
+def test_delete_broadcast_state_cached(spark, repo_df):
+    """Two delete_broadcast calls against the SAME filter snapshot
+    reuse one collected+broadcast state (regression: every call
+    re-collected and re-broadcast the full shard state)."""
+    sharded = ShardedCuckooFilter.build(repo_df, "key", CAPACITY, 8, CFG).persist()
+    evens = repo_df.filter(F.pmod(F.xxhash64("key"), 4) == 0).select("key")
+    odds = repo_df.filter(F.pmod(F.xxhash64("key"), 4) == 1).select("key")
+    r1, f1 = sharded.delete_broadcast(evens)
+    state_after_first = sharded._del_state
+    assert state_after_first is not None
+    r2, f2 = sharded.delete_broadcast(odds)
+    assert sharded._del_state is state_after_first  # no re-broadcast
+    assert r1.count() == evens.count() and r2.count() == odds.count()
+    sharded.release()
+    assert sharded._del_state is None

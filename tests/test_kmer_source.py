@@ -64,3 +64,16 @@ def test_load_packed_kmer_binary_roundtrip(spark, tmp_path):
     df = load_packed_kmer_binary(spark, str(p))
     got = np.sort(np.array([r.key for r in df.collect()], dtype=np.int64))
     assert np.array_equal(got, np.sort(keys.view(np.int64)))
+
+
+def test_packed_kmer_no_k_rejects_over_31(spark):
+    """Without a fixed k, rows longer than 31 chars must null out
+    (regression: they silently overflowed the int64 and collided
+    with shorter k-mers' keys)."""
+    df = spark.createDataFrame(
+        [("ACGT",), ("A" * 32,), ("A" * 31,)], "kmer string"
+    ).withColumn("key", packed_kmer_expr(F.col("kmer")))
+    rows = {r.kmer: r.key for r in df.collect()}
+    assert rows["ACGT"] == 0b00011011
+    assert rows["A" * 32] is None
+    assert rows["A" * 31] == 0

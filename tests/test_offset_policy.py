@@ -151,3 +151,25 @@ def test_sharded_offset_delete(spark):
     assert gone.filter(F.col("member")).count() <= int(0.01 * n_even) + 5
     still = newf.contains(odds)
     assert still.filter(~F.col("member")).count() == 0
+
+
+def test_sharded_offset_delete_count_and_release(spark):
+    """The delete's scalar n_ok aggregate is readable and the
+    persisted delete plan is releasable (regression: every delete
+    leaked a cached DataFrame with no way to free it)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.membership import ShardedOffsetFilter
+
+    keys = np.unique(_keys(5_000)).view(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"key": keys}))
+    sharded = ShardedOffsetFilter.build(df, "key", 8_000, 4)
+    evens = df.filter(F.pmod(F.col("key"), 2) == 0).select("key")
+    _res, newf = sharded.delete(evens)
+    assert newf.delete_success_count() == evens.count()
+    assert newf._delete_src is not None
+    newf.release()
+    assert newf._delete_src is None
+    with pytest.raises(ValueError):
+        newf.delete_success_count()

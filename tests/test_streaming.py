@@ -164,3 +164,38 @@ def test_stream_apply_ops(spark, tmp_path):
     dels = [r for r in rows if r.op == "delete"]
     assert len(ins) == 1000 and all(r.ok for r in ins)
     assert len(dels) == 500 and all(r.ok for r in dels)
+
+
+def test_stream_apply_ops_seq_order(spark, tmp_path):
+    """With seq_col, intra-batch op order is the caller's sequence
+    regardless of source partition layout: insert(seq=0) then
+    delete(seq=1) of the same key in ONE micro-batch lands as the
+    sequential reference calls even though the two rows arrive from
+    different source partitions."""
+    import pandas as pd
+
+    src_dir = str(tmp_path / "seqsrc")
+    # deliberately write delete rows first and in a separate
+    # partition from the inserts
+    pdf = pd.DataFrame({
+        "key": list(range(100)) + list(range(100)),
+        "op": ["delete"] * 100 + ["insert"] * 100,
+        "seq": [1] * 100 + [0] * 100,
+    })
+    spark.createDataFrame(pdf).repartition(2, "op").write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("key long, op string, seq long")
+        .parquet(src_dir)
+    )
+    out = sm.stream_apply_ops(stream, "key", "op", 4096, 4, CFG,
+                              seq_col="seq")
+    q = (
+        out.writeStream.format("memory").queryName("apply_ops_seq_t")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "seqckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("apply_ops_seq_t").collect()
+    assert len(rows) == 200
+    assert all(r.ok for r in rows)  # delete AFTER insert: both succeed

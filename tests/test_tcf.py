@@ -150,3 +150,16 @@ def test_spark_mergeable_build(spark, sf_dir):
         np.array([r.key for r in docs.collect()], dtype=np.int64)
     )
     assert tcf.contains_many(keys).all()
+
+
+def test_tiny_capacity_no_crash():
+    """num_buckets is floored at 2: the d>=1 remap sends every key
+    to a DIFFERENT alt bucket, which a 1-bucket table cannot index
+    (regression: IndexError for capacity < ~bucket_size)."""
+    for cap in (1, 5, 20):
+        f = TwoChoiceFilter(cap)
+        assert f.num_buckets >= 2
+        keys = (np.arange(1, cap + 1, dtype=np.uint64)
+                * np.uint64(0x9E3779B185EBCA87))
+        assert f.insert_many(keys).all()
+        assert f.contains_many(keys).all()
