@@ -79,20 +79,33 @@ class _SortedInsertFilter(CuckooFilter):
         self.insert_many_sorted(keys)
 
 
-def _arrow_shard_builder(per_shard_cap: int, cfg: CuckooConfig):
-    """mapInArrow worker: group (__shard, __packed) batches by shard
-    and run placement-only inserts (the hash chain already ran in
-    codegen). Arrow in/out — no pandas boxing on the hot path."""
+def _arrow_shard_builder(
+    per_shard_cap: int, cfg: CuckooConfig, shard_shift: int | None = None
+):
+    """mapInArrow worker: group packed batches by shard and run
+    placement-only inserts (the hash chain already ran in codegen).
+    Arrow in/out — no pandas boxing on the hot path. With
+    ``shard_shift`` the input is ONE column carrying
+    ``(shard << shard_shift) | (i1 << f) | fp``; otherwise two
+    columns (__shard, __packed)."""
 
     def build_shards(batches):
         import pyarrow as pa
 
+        local_mask = None if shard_shift is None else np.int64(
+            (1 << shard_shift) - 1
+        )
         per_shard: dict[int, list[np.ndarray]] = {}
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            sids = rb.column(0).to_numpy(zero_copy_only=False)
-            packed = rb.column(1).to_numpy(zero_copy_only=False)
+            if shard_shift is not None:
+                v = rb.column(0).to_numpy(zero_copy_only=False)
+                sids = v >> np.int64(shard_shift)
+                packed = v & local_mask
+            else:
+                sids = rb.column(0).to_numpy(zero_copy_only=False)
+                packed = rb.column(1).to_numpy(zero_copy_only=False)
             order = np.argsort(sids, kind="stable")
             sp = packed[order]
             ss = sids[order]
@@ -401,25 +414,51 @@ class ShardedCuckooFilter:
         per_shard_cap: int,
     ) -> "ShardedCuckooFilter":
         """Build variant where the whole hash chain runs JVM-side:
-        the Exchange carries ``(shard, (i1 << f) | fp)`` — the
-        reference's pack-kernel layout
-        (``CuckooFilter.cuh:1185-1207``) — and the Python stage is
-        pure placement (``insert_packed``). Same filters bit-for-bit
-        as the key-shipping build (chained hash family parity)."""
+        the Exchange carries ``(shard << (f+log2(nb))) | (i1 << f) |
+        fp`` in a SINGLE long — the reference's pack-kernel layout
+        (``CuckooFilter.cuh:1185-1207``) with the shard id riding the
+        spare upper bits, so the shuffled UnsafeRow is one field (16
+        bytes) instead of two (24 bytes). The Python stage is pure
+        placement (``insert_packed``). Same filters bit-for-bit as
+        the key-shipping build (chained hash family parity). Falls
+        back to the two-column layout when shard+i1+f exceed 62 bits
+        (per-shard bucket counts beyond ~2^40 at f=16)."""
         from cuckoo_filter_spark.hashing import packed_expr
 
         nb = cfg.num_buckets_for(per_shard_cap)
-        shards = (
-            df.select(
-                shard_expr(key_col, num_shards).alias("__shard"),
-                packed_expr(key_col, nb, cfg.bits_per_tag).alias("__packed"),
+        f = cfg.bits_per_tag
+        i1_bits = nb.bit_length() - 1  # nb is a power of two
+        shard_shift = f + i1_bits
+        shard_bits = max(1, (num_shards - 1).bit_length())
+        if shard_shift + shard_bits <= 62:
+            one = F.shiftleft(
+                shard_expr(key_col, num_shards), shard_shift
+            ).bitwiseOR(packed_expr(key_col, nb, f))
+            shards = (
+                df.select(one.alias("__packed"))
+                .repartition(
+                    num_shards,
+                    F.shiftrightunsigned(F.col("__packed"), shard_shift),
+                )
+                .mapInArrow(
+                    _arrow_shard_builder(
+                        per_shard_cap, cfg, shard_shift=shard_shift
+                    ),
+                    schema=_SHARD_SCHEMA,
+                )
             )
-            .repartition(num_shards, "__shard")
-            .mapInArrow(
-                _arrow_shard_builder(per_shard_cap, cfg),
-                schema=_SHARD_SCHEMA,
+        else:
+            shards = (
+                df.select(
+                    shard_expr(key_col, num_shards).alias("__shard"),
+                    packed_expr(key_col, nb, f).alias("__packed"),
+                )
+                .repartition(num_shards, "__shard")
+                .mapInArrow(
+                    _arrow_shard_builder(per_shard_cap, cfg),
+                    schema=_SHARD_SCHEMA,
+                )
             )
-        )
         return ShardedCuckooFilter(
             shards, num_shards, cfg, key_col, shard_num_buckets=nb
         )
@@ -459,7 +498,7 @@ class ShardedCuckooFilter:
         df: DataFrame, key_col: str, capacity: int, num_shards: int,
         path: str, config: Optional[CuckooConfig] = None,
     ) -> None:
-        """Materialize (\_\_shard, \_\_packed) bucketed by shard to
+        """Materialize (__shard, __packed) bucketed by shard to
         parquet — the one-time table-preparation step that makes
         every subsequent :meth:`build_bucketed` shuffle-free."""
         from cuckoo_filter_spark.hashing import packed_expr
