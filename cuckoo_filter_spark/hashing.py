@@ -184,31 +184,46 @@ def keys_to_unsigned(keys_i64: np.ndarray) -> np.ndarray:
     return np.asarray(keys_i64, dtype=np.int64).view(np.uint64)
 
 
-def candidate_exprs(key_col, num_buckets: int, bits_per_tag: int):
-    """Spark Columns (fp, i1, i2) for the XOR bucket policy — the
-    same arithmetic ``CuckooFilter.candidates`` runs in numpy
-    (``bucket_policies.cuh:45-74``), expressed as whole-stage-codegen
-    JVM expressions via the chained hash family. Bit-exact with the
-    kernel (verified in tests), which is what makes pure-SQL probes
-    against python-built filters possible."""
+def candidate_exprs(
+    key_col, num_buckets: int, bits_per_tag: int, policy: str = "xor"
+):
+    """Spark Columns (fp, i1, i2) — the same arithmetic
+    ``CuckooFilter.candidates`` runs in numpy
+    (``bucket_policies.cuh:45-74`` for XOR, ``:126-143`` for
+    AddSub), expressed as whole-stage-codegen JVM expressions via
+    the chained hash family. Bit-exact with the kernel (verified in
+    tests), which is what makes pure-SQL probes against
+    python-built filters possible.
+
+    For the AddSub policy ``i2`` is returned as ``None``: the alt
+    bucket needs an unsigned 64-bit mod of a non-pow2 block count,
+    which the packed build resolves numpy-side via the policy-aware
+    ``alt_bucket`` instead."""
     from pyspark.sql import functions as F
 
     from cuckoo_filter_spark.config import DISP_SALT, FP_SALT
 
-    mask = num_buckets - 1
     tag_mask = (1 << bits_per_tag) - 1
     h = chained_hash_expr(F.col(key_col) if isinstance(key_col, str) else key_col,
                           FP_SALT)
     fp_raw = F.shiftrightunsigned(h, 32).bitwiseAND(F.lit(tag_mask))
     # fp must stay LongType: xxhash64's 4-byte int path differs
     fp = F.when(fp_raw == 0, F.lit(1)).otherwise(fp_raw).cast("long")
+    if policy == "addsub":
+        # i1 = (h & 0xFFFFFFFF) % (nb/2): the low-32 slice is
+        # non-negative, so signed pmod == unsigned mod
+        bpb = num_buckets // 2
+        i1 = F.pmod(h.bitwiseAND(F.lit(0xFFFFFFFF)), F.lit(bpb))
+        return fp, i1, None
+    mask = num_buckets - 1
     i1 = h.bitwiseAND(F.lit(mask))
     disp = chained_hash_expr(fp, DISP_SALT).bitwiseAND(F.lit(mask))
     i2 = i1.bitwiseXOR(disp)
     return fp, i1, i2
 
 
-def packed_expr(key_col, num_buckets: int, bits_per_tag: int):
+def packed_expr(key_col, num_buckets: int, bits_per_tag: int,
+                policy: str = "xor"):
     """Spark Column packing ``(i1 << bits_per_tag) | fp`` — the
     JVM-side analog of the reference's pack kernel
     (``CuckooFilter.cuh:1185-1207``). Consumed by
@@ -216,7 +231,7 @@ def packed_expr(key_col, num_buckets: int, bits_per_tag: int):
     candidates instead of raw keys."""
     from pyspark.sql import functions as F
 
-    fp, i1, _ = candidate_exprs(key_col, num_buckets, bits_per_tag)
+    fp, i1, _ = candidate_exprs(key_col, num_buckets, bits_per_tag, policy)
     return F.shiftleft(i1, bits_per_tag).bitwiseOR(fp)
 
 

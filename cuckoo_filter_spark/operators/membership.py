@@ -356,7 +356,8 @@ class ShardedCuckooFilter:
     ) -> "ShardedCuckooFilter":
         cfg = config or CuckooConfig()
         per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
-        if jvm_pack and cfg.bucket_policy == "xor" and not sorted_insert:
+        if (jvm_pack and cfg.bucket_policy in ("xor", "addsub")
+                and not sorted_insert):
             return ShardedCuckooFilter._build_packed(
                 df, key_col, num_shards, cfg, per_shard_cap
             )
@@ -427,13 +428,14 @@ class ShardedCuckooFilter:
 
         nb = cfg.num_buckets_for(per_shard_cap)
         f = cfg.bits_per_tag
-        i1_bits = nb.bit_length() - 1  # nb is a power of two
+        # pow2 (xor) or even (addsub) bucket counts both fit
+        i1_bits = (nb - 1).bit_length()
         shard_shift = f + i1_bits
         shard_bits = max(1, (num_shards - 1).bit_length())
         if shard_shift + shard_bits <= 62:
             one = F.shiftleft(
                 shard_expr(key_col, num_shards), shard_shift
-            ).bitwiseOR(packed_expr(key_col, nb, f))
+            ).bitwiseOR(packed_expr(key_col, nb, f, cfg.bucket_policy))
             shards = (
                 df.select(one.alias("__packed"))
                 .repartition(
@@ -451,7 +453,9 @@ class ShardedCuckooFilter:
             shards = (
                 df.select(
                     shard_expr(key_col, num_shards).alias("__shard"),
-                    packed_expr(key_col, nb, f).alias("__packed"),
+                    packed_expr(
+                        key_col, nb, f, cfg.bucket_policy
+                    ).alias("__packed"),
                 )
                 .repartition(num_shards, "__shard")
                 .mapInArrow(
@@ -509,7 +513,9 @@ class ShardedCuckooFilter:
         (
             df.select(
                 shard_expr(key_col, num_shards).alias("__shard"),
-                packed_expr(key_col, nb, cfg.bits_per_tag).alias("__packed"),
+                packed_expr(
+                    key_col, nb, cfg.bits_per_tag, cfg.bucket_policy
+                ).alias("__packed"),
             )
             .repartition(num_shards, "__shard")
             .write.mode("overwrite").parquet(path)
@@ -533,7 +539,7 @@ class ShardedCuckooFilter:
         cfg = self.config
         packed = (
             self.shard_num_buckets is not None
-            and cfg.bucket_policy == "xor"
+            and cfg.bucket_policy in ("xor", "addsub")
         )
 
         # one row per shard with list columns (exploded JVM-side):
@@ -577,7 +583,8 @@ class ShardedCuckooFilter:
 
             routed = routed.withColumn(
                 "__packed",
-                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag),
+                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag,
+                            cfg.bucket_policy),
             )
         routed = routed.withColumn(
             "__shard", shard_expr(key_col, self.num_shards)
@@ -787,7 +794,7 @@ class ShardedCuckooFilter:
 
         packed = (
             self.shard_num_buckets is not None
-            and cfg.bucket_policy == "xor"
+            and cfg.bucket_policy in ("xor", "addsub")
         )
 
         def apply_delete(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -833,7 +840,8 @@ class ShardedCuckooFilter:
 
             routed = routed.withColumn(
                 "__packed",
-                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag),
+                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag,
+                            cfg.bucket_policy),
             )
         merged = (
             routed
@@ -893,7 +901,7 @@ class ShardedCuckooFilter:
         num_shards = self.num_shards
         packed = (
             self.shard_num_buckets is not None
-            and cfg.bucket_policy == "xor"
+            and cfg.bucket_policy in ("xor", "addsub")
         )
         if self._del_state is None:
             full_rows = {
@@ -974,7 +982,8 @@ class ShardedCuckooFilter:
 
             routed = routed.withColumn(
                 "__packed",
-                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag),
+                packed_expr(key_col, self.shard_num_buckets, cfg.bits_per_tag,
+                            cfg.bucket_policy),
             )
         touched = (
             routed.withColumn("__shard", shard_expr(key_col, num_shards))

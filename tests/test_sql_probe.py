@@ -119,3 +119,45 @@ def test_bucketed_build_matches(spark, keys_df, tmp_path):
     # input order, so compare membership, not bytes
     out = a.contains_broadcast(df, "key")
     assert out.filter(~F.col("member")).count() == 0
+
+
+ADDSUB_CFG = CuckooConfig(bits_per_tag=16, bucket_size=4,
+                          bucket_policy="addsub")
+
+
+def test_packed_build_matches_key_build_addsub(spark, keys_df):
+    """AddSub policy through the JVM-packed lane: i1 = low-32 %
+    (nb/2) in codegen (bucket_policies.cuh:126-143), alt bucket
+    resolved numpy-side — bit-identical to the key-shipping build."""
+    df, keys = keys_df
+    a = ShardedCuckooFilter.build(df, "key", 6000, 8, ADDSUB_CFG,
+                                  jvm_pack=True)
+    b = ShardedCuckooFilter.build(df, "key", 6000, 8, ADDSUB_CFG,
+                                  jvm_pack=False)
+    blobs_a = {r.shard_id: (bytes(r.blob), r.rows, r.inserted)
+               for r in a.shards.collect()}
+    blobs_b = {r.shard_id: (bytes(r.blob), r.rows, r.inserted)
+               for r in b.shards.collect()}
+    assert blobs_a == blobs_b
+    # the packed lane is actually enabled for routed ops
+    assert a.shard_num_buckets is not None
+
+
+def test_addsub_routed_contains_delete_packed_lane(spark, keys_df):
+    df, keys = keys_df
+    sh = ShardedCuckooFilter.build(df, "key", 6000, 8, ADDSUB_CFG).persist()
+    probes = df.unionByName(
+        spark.range(4096).select((F.col("id") + 2**43).alias("key"))
+    )
+    res = {r.key: r.member for r in sh.contains(probes).collect()}
+    assert all(res[int(k)] for k in keys)  # zero false negatives
+    # delete half, requery: survivors all present (zero false
+    # negatives is the invariant; deleted keys may still FP)
+    half = spark.createDataFrame(
+        [(int(k),) for k in keys[: len(keys) // 2]], "key long"
+    )
+    outcomes, sh2 = sh.delete(half, per_key=True)
+    assert outcomes.filter(~F.col("ok")).count() == 0
+    after = {r.key: r.member for r in sh2.contains(df).collect()}
+    kept = keys[len(keys) // 2:]
+    assert all(after[int(k)] for k in kept)
