@@ -247,13 +247,15 @@ def q_offset_policy_contains(spark, sf_dir):
 
 def q_addsub_policy_contains(spark, sf_dir):
     """AddSubAltBucketPolicy (two-block displacement, non-pow2 even
-    bucket counts, bucket_policies.cuh:96-182) through the
-    shard-routed distributed path."""
+    bucket counts, bucket_policies.cuh:96-182): JVM-packed sharded
+    build + pure-SQL stacked-words probe — the whole policy's hash
+    chain, including the unsigned-64 displacement mod, runs in
+    whole-stage codegen."""
     docs = _docs(spark, sf_dir)
     n = docs.count()
     cfg = CuckooConfig(bits_per_tag=16, bucket_size=4, bucket_policy="addsub")
     filt = ShardedCuckooFilter.build(docs, "key", _capacity(n), 8, cfg)
-    out = filt.contains(docs.select("key").distinct())
+    out = filt.contains_sql(docs.select("key").distinct())
     return out.join(docs.select("doc_id", "key"), "key").select(
         "doc_id", "member"
     )

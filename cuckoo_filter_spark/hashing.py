@@ -195,10 +195,12 @@ def candidate_exprs(
     tests), which is what makes pure-SQL probes against
     python-built filters possible.
 
-    For the AddSub policy ``i2`` is returned as ``None``: the alt
-    bucket needs an unsigned 64-bit mod of a non-pow2 block count,
-    which the packed build resolves numpy-side via the policy-aware
-    ``alt_bucket`` instead."""
+    AddSub's displacement is an unsigned 64-bit mod of a non-pow2
+    block count; signed pmod is wrong there, so it is computed via a
+    hi/lo 32-bit split (both halves non-negative):
+    ``u % m = (pmod(hi, m) * (2^32 % m) + pmod(lo, m)) % m``.
+    Products stay < 2^62 for block counts up to 2^30 (per-shard
+    bucket counts far beyond any deployment's)."""
     from pyspark.sql import functions as F
 
     from cuckoo_filter_spark.config import DISP_SALT, FP_SALT
@@ -213,8 +215,24 @@ def candidate_exprs(
         # i1 = (h & 0xFFFFFFFF) % (nb/2): the low-32 slice is
         # non-negative, so signed pmod == unsigned mod
         bpb = num_buckets // 2
+        if bpb >= (1 << 30):
+            raise NotImplementedError(
+                "JVM addsub addressing supports block counts < 2^30"
+            )
         i1 = F.pmod(h.bitwiseAND(F.lit(0xFFFFFFFF)), F.lit(bpb))
-        return fp, i1, None
+        hd = chained_hash_expr(fp, DISP_SALT)
+        disp = F.pmod(
+            F.pmod(F.shiftrightunsigned(hd, 32), F.lit(bpb))
+            * F.lit((1 << 32) % bpb)
+            + F.pmod(hd.bitwiseAND(F.lit(0xFFFFFFFF)), F.lit(bpb)),
+            F.lit(bpb),
+        )
+        # block 0 adds and crosses, block 1 subtracts and returns
+        # (bucket_policies.cuh:156-166); pmod absorbs the negative
+        i2 = F.when(
+            i1 < bpb, F.pmod(i1 + disp, F.lit(bpb)) + F.lit(bpb)
+        ).otherwise(F.pmod(i1 - disp, F.lit(bpb)))
+        return fp, i1, i2
     mask = num_buckets - 1
     i1 = h.bitwiseAND(F.lit(mask))
     disp = chained_hash_expr(fp, DISP_SALT).bitwiseAND(F.lit(mask))

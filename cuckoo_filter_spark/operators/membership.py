@@ -283,8 +283,10 @@ class DistributedCuckooFilter:
         hash joins + codegen'd bit math — zero Python in the probe
         path (the fingerprint family is the JVM-parity chained hash,
         see ``hashing.chained_hash``)."""
-        if self.config.bucket_policy != "xor":
-            raise NotImplementedError("SQL probe implements XOR addressing")
+        if self.config.bucket_policy not in ("xor", "addsub"):
+            raise NotImplementedError(
+                "SQL probe implements XOR/AddSub addressing"
+            )
         spark = df.sparkSession
         if self._words is None:
             self._words = _words_frame(
@@ -292,7 +294,8 @@ class DistributedCuckooFilter:
             )
         words, wpb = self._words
         fp, i1, i2 = candidate_exprs(
-            key_col, self.filter.num_buckets, self.config.bits_per_tag
+            key_col, self.filter.num_buckets, self.config.bits_per_tag,
+            self.config.bucket_policy,
         )
         return _sql_probe(
             df, words, wpb, i1, i2, fp, self.config.bits_per_tag, out_col
@@ -716,8 +719,10 @@ class ShardedCuckooFilter:
         candidates from the chained family — all codegen
         expressions), probed with two broadcast hash joins. Zero
         Python and zero shuffle in the probe path."""
-        if self.config.bucket_policy != "xor":
-            raise NotImplementedError("SQL probe implements XOR addressing")
+        if self.config.bucket_policy not in ("xor", "addsub"):
+            raise NotImplementedError(
+                "SQL probe implements XOR/AddSub addressing"
+            )
         key_col = key_col or self.key_col
         spark = queries.sparkSession
         if getattr(self, "_words", None) is None:
@@ -738,7 +743,9 @@ class ShardedCuckooFilter:
                 (*_words_frame(spark, big, self.config.bits_per_tag), nb),
             )
         words, wpb, nb = self._words
-        fp, i1, i2 = candidate_exprs(key_col, nb, self.config.bits_per_tag)
+        fp, i1, i2 = candidate_exprs(
+            key_col, nb, self.config.bits_per_tag, self.config.bucket_policy
+        )
         base = shard_expr(key_col, self.num_shards) * nb
         return _sql_probe(
             queries, words, wpb, base + i1, base + i2, fp,

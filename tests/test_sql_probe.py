@@ -161,3 +161,26 @@ def test_addsub_routed_contains_delete_packed_lane(spark, keys_df):
     after = {r.key: r.member for r in sh2.contains(df).collect()}
     kept = keys[len(keys) // 2:]
     assert all(after[int(k)] for k in kept)
+
+
+def test_contains_sql_addsub_parity(spark, keys_df):
+    """AddSub addressing fully in codegen: unsigned-64 displacement
+    via hi/lo split, add/cross vs subtract/return blocks — parity
+    with the numpy broadcast probe on mixed positives/negatives."""
+    df, keys = keys_df
+    filt = DistributedCuckooFilter.build(df, "key", 6000, ADDSUB_CFG)
+    probes = df.unionByName(
+        spark.range(4096).select((F.col("id") + 2**44).alias("key"))
+    )
+    sql_res = {r.key: r.member
+               for r in filt.contains_sql(probes, "key").collect()}
+    udf_res = {r.key: r.member
+               for r in filt.contains(probes, "key").collect()}
+    assert sql_res == udf_res
+    assert all(sql_res[int(k)] for k in keys)
+
+    sh = ShardedCuckooFilter.build(df, "key", 6000, 8, ADDSUB_CFG).persist()
+    sh_sql = {r.key: r.member for r in sh.contains_sql(probes).collect()}
+    sh_routed = {r.key: r.member for r in sh.contains(probes).collect()}
+    assert sh_sql == sh_routed
+    assert all(sh_sql[int(k)] for k in keys)
