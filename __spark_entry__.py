@@ -678,7 +678,7 @@ def q_bloom_semijoin_orders(spark, sf_dir):
     filt = DistributedCuckooFilter.build(
         seg.select(F.col("c_custkey").alias("key")), "key", _capacity(n_seg), CFG
     )
-    pre = filt.contains(
+    pre = filt.contains_sql(
         orders.select("o_orderkey", F.col("o_custkey").alias("key")), "key"
     ).filter(F.col("member"))
     verified = pre.join(
