@@ -136,6 +136,99 @@ def stream_exact_dedup(
     ).dropDuplicatesWithinWatermark(key_cols)
 
 
+def stream_sketch_window(
+    stream_df: DataFrame,
+    event_time_col: str,
+    key_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "10 seconds",
+    make_sketch=None,
+):
+    """Watermarked per-window sketch rollup — approximate distinct
+    keys per event-time tumbling window, finalized by the watermark
+    (the streaming complement of ``grouped_sketch``; state pattern
+    cf. the long-lived IPC filter, ``CuckooFilterIPC.cuh:190-199``).
+
+    One mergeable sketch (default HLL p=14, ``core/hll.py``) per
+    window lives in ``applyInPandasWithState`` group state; each
+    micro-batch folds its rows in, and the window emits exactly one
+    final row ``(window_start, window_end, n_rows, distinct_est)``
+    when the event-time watermark passes the window end
+    (EventTimeTimeout). Late rows beyond the watermark are dropped
+    by the engine before reaching state, so state is bounded by the
+    number of open windows — not by key cardinality, which is the
+    point of the sketch at 100 TB/day rates.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from cuckoo_filter_spark.core.hll import HyperLogLog
+    from cuckoo_filter_spark.hashing import keys_to_unsigned
+
+    factory = make_sketch or (lambda: HyperLogLog(p=14))
+    proto = factory()
+    cls = type(proto)
+    out_schema = StructType([
+        StructField("window_start", TimestampType()),
+        StructField("window_end", TimestampType()),
+        StructField("n_rows", LongType()),
+        StructField("distinct_est", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("blob", BinaryType()),
+        StructField("n_rows", LongType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        # key[0] is the window struct Row (start, end); values may be
+        # string-serialized timestamps (session timezone)
+        wstart = pd.Timestamp(key[0]["start"])
+        wend = pd.Timestamp(key[0]["end"])
+        if state.hasTimedOut:
+            blob, n_rows = state.get
+            sk = cls.from_bytes(bytes(blob))
+            state.remove()
+            yield pd.DataFrame({
+                "window_start": [wstart], "window_end": [wend],
+                "n_rows": [int(n_rows)],
+                "distinct_est": [int(round(sk.estimate()))],
+            })
+            return
+        if state.exists:
+            blob, n_rows = state.get
+            sk = cls.from_bytes(bytes(blob))
+            n_rows = int(n_rows)
+        else:
+            sk, n_rows = factory(), 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            raw = pdf[key_col].to_numpy(np.int64, copy=False)
+            sk.add_many(keys_to_unsigned(raw))
+            n_rows += len(raw)
+        state.update((sk.to_bytes(), n_rows))
+        # finalize when the watermark passes the window end
+        state.setTimeoutTimestamp(int(wend.timestamp() * 1000))
+
+    win = F.window(F.col(event_time_col), window_duration)
+    return (
+        stream_df.withWatermark(event_time_col, watermark)
+        # group by the window STRUCT — it inherits the watermark tag
+        # from the event-time column, which EventTimeTimeout requires
+        .withColumn("__w", win)
+        .select("__w", key_col)
+        .groupBy("__w")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_apply_ops(
     stream_df: DataFrame,
     key_col: str,

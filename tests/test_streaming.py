@@ -199,3 +199,82 @@ def test_stream_apply_ops_seq_order(spark, tmp_path):
     rows = spark.table("apply_ops_seq_t").collect()
     assert len(rows) == 200
     assert all(r.ok for r in rows)  # delete AFTER insert: both succeed
+
+
+def test_stream_sketch_window(spark, tmp_path):
+    """Watermarked per-window HLL rollup: windows finalize exactly
+    once when the watermark passes their end, and the estimate
+    matches the exact per-window distinct count (HLL p=14 is in its
+    near-exact linear-counting range at these cardinalities)."""
+    src_dir = str(tmp_path / "winsrc")
+    base = 1_700_000_040  # any epoch; windows align to epoch/60s
+    # batch 1: window W1, 300 rows over 120 distinct keys
+    (
+        spark.range(0, 300)
+        .select(
+            (F.col("id") % 120).alias("key"),
+            F.timestamp_seconds(F.lit(base) + (F.col("id") % 50))
+            .alias("ts"),
+        )
+        .write.parquet(src_dir + "/b1")
+    )
+    # batch 2: +200s (watermark still below W1 end during this batch)
+    (
+        spark.range(0, 200)
+        .select(
+            (F.col("id") % 77 + 1000).alias("key"),
+            F.timestamp_seconds(F.lit(base + 200) + (F.col("id") % 30))
+            .alias("ts"),
+        )
+        .write.parquet(src_dir + "/b2")
+    )
+    # batch 3: +400s — its processing uses watermark from batch 2
+    # (base+229-5 > W1 end), so W1 finalizes here
+    (
+        spark.range(0, 50)
+        .select(
+            (F.col("id") + 5000).alias("key"),
+            F.timestamp_seconds(F.lit(base + 400)).alias("ts"),
+        )
+        .write.parquet(src_dir + "/b3")
+    )
+    stream = (
+        spark.readStream.schema("key long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    out = sm.stream_sketch_window(
+        stream, "ts", "key", window_duration="60 seconds",
+        watermark="5 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("sketch_window_t")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "winckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("sketch_window_t").collect()
+    assert rows, "no windows finalized"
+    # exact per-window truth from the same files
+    import collections
+
+    batch = spark.read.parquet(src_dir + "/*").collect()
+    per_win = collections.defaultdict(set)
+    n_win = collections.Counter()
+    for r in batch:
+        w = int(r.ts.timestamp()) // 60 * 60
+        per_win[w].add(r.key)
+        n_win[w] += 1
+    finalized = {}
+    for r in rows:
+        w = int(r.window_start.timestamp())
+        assert w not in finalized, "window emitted twice"
+        finalized[w] = r
+    # W1 must have finalized (watermark passed it by batch 3)
+    w1 = base // 60 * 60
+    assert w1 in finalized
+    for w, r in finalized.items():
+        assert r.n_rows == n_win[w]
+        exact = len(per_win[w])
+        assert abs(r.distinct_est - exact) <= max(2, int(0.05 * exact))
