@@ -289,6 +289,31 @@ def q_hll_per_lang(spark, sf_dir):
     )
 
 
+def q_hll_window_events(spark, sf_dir):
+    """Batch complement of ``streaming.stream_sketch_window``:
+    per-day approximate distinct users over the events table via the
+    skew-proof two-stage grouped sketch (a hot day spreads across
+    every input partition; only serialized blobs shuffle)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    est = grouped_sketch_partial(
+        days, ["day"], "user_id", lambda: HyperLogLog(14),
+        lambda sk: {"est": int(round(sk.estimate()))}, "est long",
+    )
+    exact = days.groupBy("day").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.count("*").alias("n_events"),
+    )
+    return est.join(exact, "day").select(
+        "day", "exact_distinct", "n_events",
+        (F.abs(F.col("est") - F.col("exact_distinct"))
+         <= F.greatest(F.lit(2.0), F.col("exact_distinct") * 0.04)
+         ).alias("hll_ok"),
+    )
+
+
 def q_bloom_customer_orders(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -702,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "addsub_policy_contains": q_addsub_policy_contains,
         "hll_distinct_documents": q_hll_distinct_documents,
         "hll_per_lang": q_hll_per_lang,
+        "hll_window_events": q_hll_window_events,
         "bloom_customer_orders": q_bloom_customer_orders,
         "cms_event_type_frequencies": q_cms_event_type_frequencies,
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
@@ -803,6 +829,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_per_lang":
             "SELECT lang, count(DISTINCT text) AS exact_distinct, TRUE AS hll_ok "
             "FROM documents GROUP BY lang",
+        "hll_window_events":
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "count(DISTINCT user_id) AS exact_distinct, "
+            "count(*) AS n_events, TRUE AS hll_ok "
+            "FROM events GROUP BY 1",
         "bloom_customer_orders":
             "SELECT count(*) AS n_orders, count(*) AS n_member FROM orders",
         "cms_event_type_frequencies":
