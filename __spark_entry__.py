@@ -853,6 +853,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(coll) = 0 THEN 0
                         ELSE length(coll) - length(replace(coll, ' ', '')) + 1
                    END AS n_tokens,
+                   CAST(length(regexp_extract_all(text,
+                        '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'
+                   )) AS BIGINT) AS n_bpe_tokens,
                    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
                         AS BIGINT) AS n_punct,
                    CAST(""" + " + ".join(

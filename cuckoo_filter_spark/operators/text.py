@@ -51,6 +51,23 @@ def token_count(col: Column) -> Column:
     )
 
 
+#: GPT-2-style pre-tokenizer alternation (contractions, letter runs,
+#: digit runs, punctuation runs, each with an optional leading
+#: space). Deliberately lookahead-free so the SAME pattern runs in
+#: Java regex (Spark codegen) and RE2 (DuckDB oracle).
+BPE_TOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer matches (the
+    unit a byte-pair encoder would split further). JVM-side
+    ``regexp_count`` — no Python."""
+    return F.regexp_count(col, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 def punct_count(col: Column) -> Column:
     return F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?]", ""))
 
@@ -69,6 +86,7 @@ def quality_features(col: Column) -> list[Column]:
     return [
         F.length(col).alias("n_chars"),
         token_count(col).alias("n_tokens"),
+        bpe_token_count(col).alias("n_bpe_tokens"),
         punct_count(col).alias("n_punct"),
         stopword_count(col).alias("n_stopwords"),
     ]

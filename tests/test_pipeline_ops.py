@@ -46,6 +46,23 @@ def test_quality_features(docs):
         )
 
 
+def test_bpe_token_count_matches_python(docs):
+    import re as _re
+
+    # Python re uses [A-Za-z]/[0-9]-style classes; \p{L} is Java/RE2.
+    # Synthetic corpus is ASCII, so the ASCII transliteration is the
+    # same tokenizer.
+    pat = _re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    )
+    rows = docs.select(
+        "doc_id", "text",
+        text.bpe_token_count(F.col("text")).alias("n"),
+    ).limit(200).collect()
+    for r in rows:
+        assert r.n == len(pat.findall(r.text)), r.doc_id
+
+
 def test_detect_lang_deterministic(docs):
     out = docs.select("doc_id", text.detect_lang(F.col("text")).alias("l"))
     langs = {r.l for r in out.collect()}
