@@ -176,7 +176,16 @@ class TwoChoiceFilter(CuckooFilter):
         fallback (the type has no eviction); both-full tags count as
         failures. At the sized load (≤0.85 usable, and callers
         typically well below) merges place every tag regardless of
-        partition ordering — associativity is asserted in tests."""
+        partition ordering — associativity is asserted in tests.
+
+        A dropped tag would break the type's zero-false-negative
+        contract silently, so placement failure raises a
+        ``RuntimeWarning`` here in addition to moving ``failures`` —
+        distributed builds (``aggregate_sketch``) must end with
+        ``filter.failures == 0`` for membership to be trusted, as
+        ``q_tcf_membership`` asserts."""
+        import warnings
+
         same_geom = (
             self.num_buckets == other.num_buckets
             and self.config.bits_per_tag == other.config.bits_per_tag
@@ -191,9 +200,19 @@ class TwoChoiceFilter(CuckooFilter):
         alt = self.alt_bucket(bi, tags)
         ok = self._two_choice_place(bi, alt, tags)
         n_ok = int(ok.sum())
+        dropped = len(tags) - n_ok
+        if dropped:
+            warnings.warn(
+                f"TwoChoiceFilter.merge_in_place dropped {dropped} tag(s) "
+                "(both candidate buckets full) — the merged filter can now "
+                "return false negatives; resize capacity or check "
+                "filter.failures == 0 after distributed builds",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self.occupied += n_ok
         self.inserts += other.inserts
-        self.failures += other.failures + (len(tags) - n_ok)
+        self.failures += other.failures + dropped
         return self
 
     # ------------------------------------------------------------------

@@ -163,7 +163,7 @@ def stream_sketch_window(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
-        BinaryType, LongType, StructField, StructType, TimestampType,
+        BinaryType, LongType, StructField, StructType,
     )
 
     from cuckoo_filter_spark.core.hll import HyperLogLog
@@ -173,8 +173,8 @@ def stream_sketch_window(
     proto = factory()
     cls = type(proto)
     out_schema = StructType([
-        StructField("window_start", TimestampType()),
-        StructField("window_end", TimestampType()),
+        StructField("window_start_epoch", LongType()),
+        StructField("window_end_epoch", LongType()),
         StructField("n_rows", LongType()),
         StructField("distinct_est", LongType()),
     ])
@@ -184,16 +184,21 @@ def stream_sketch_window(
     ])
 
     def update(key, pdfs, state: GroupState):
-        # key[0] is the window struct Row (start, end); values may be
-        # string-serialized timestamps (session timezone)
-        wstart = pd.Timestamp(key[0]["start"])
-        wend = pd.Timestamp(key[0]["end"])
+        # key = (window struct, start_epoch, end_epoch). The struct's
+        # timestamps arrive session-timezone-naive, and re-interpreting
+        # them in Python (pd.Timestamp(...).timestamp() assumes UTC)
+        # would offset the timeout by the zone — premature/duplicate
+        # window emission west of UTC, hours-late east of it. The
+        # epochs are computed JVM-side (F.unix_timestamp) so Python
+        # never re-interprets a naive timestamp.
+        ws_epoch, we_epoch = int(key[1]), int(key[2])
         if state.hasTimedOut:
             blob, n_rows = state.get
             sk = cls.from_bytes(bytes(blob))
             state.remove()
             yield pd.DataFrame({
-                "window_start": [wstart], "window_end": [wend],
+                "window_start_epoch": [ws_epoch],
+                "window_end_epoch": [we_epoch],
                 "n_rows": [int(n_rows)],
                 "distinct_est": [int(round(sk.estimate()))],
             })
@@ -212,19 +217,31 @@ def stream_sketch_window(
             n_rows += len(raw)
         state.update((sk.to_bytes(), n_rows))
         # finalize when the watermark passes the window end
-        state.setTimeoutTimestamp(int(wend.timestamp() * 1000))
+        state.setTimeoutTimestamp(we_epoch * 1000)
 
     win = F.window(F.col(event_time_col), window_duration)
     return (
         stream_df.withWatermark(event_time_col, watermark)
         # group by the window STRUCT — it inherits the watermark tag
-        # from the event-time column, which EventTimeTimeout requires
+        # from the event-time column, which EventTimeTimeout requires —
+        # plus its JVM-computed unix epochs (timezone-unambiguous)
         .withColumn("__w", win)
-        .select("__w", key_col)
-        .groupBy("__w")
+        .withColumn("__ws", F.unix_timestamp(F.col("__w.start")))
+        .withColumn("__we", F.unix_timestamp(F.col("__w.end")))
+        .select("__w", "__ws", "__we", key_col)
+        .groupBy("__w", "__ws", "__we")
         .applyInPandasWithState(
             update, out_schema, state_schema, "append",
             GroupStateTimeout.EventTimeTimeout,
+        )
+        # back to timestamps JVM-side — same external schema as before
+        .select(
+            F.timestamp_seconds(F.col("window_start_epoch")).alias(
+                "window_start"
+            ),
+            F.timestamp_seconds(F.col("window_end_epoch")).alias("window_end"),
+            "n_rows",
+            "distinct_est",
         )
     )
 

@@ -278,3 +278,61 @@ def test_stream_sketch_window(spark, tmp_path):
         assert r.n_rows == n_win[w]
         exact = len(per_win[w])
         assert abs(r.distinct_est - exact) <= max(2, int(0.05 * exact))
+
+
+def test_stream_sketch_window_nonutc_timezone(spark, tmp_path):
+    """Regression: the EventTimeTimeout epoch must not re-interpret
+    the session-timezone-naive window timestamp as UTC. With a
+    west-of-UTC session zone the old pd.Timestamp(...).timestamp()
+    path set the timeout 8h early (premature finalize + duplicate
+    emission, or IllegalArgumentException when it fell below the
+    watermark); the JVM-computed epochs make the zone irrelevant."""
+    src_dir = str(tmp_path / "tzsrc")
+    base = 1_700_000_040
+    (
+        spark.range(0, 100)
+        .select(
+            (F.col("id") % 40).alias("key"),
+            F.timestamp_seconds(F.lit(base) + (F.col("id") % 50)).alias("ts"),
+        )
+        .write.parquet(src_dir + "/b1")
+    )
+    (
+        spark.range(0, 20)
+        .select(
+            (F.col("id") + 9000).alias("key"),
+            F.timestamp_seconds(F.lit(base + 400)).alias("ts"),
+        )
+        .write.parquet(src_dir + "/b2")
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        stream = (
+            spark.readStream.schema("key long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir + "/*")
+        )
+        out = sm.stream_sketch_window(
+            stream, "ts", "key", window_duration="60 seconds",
+            watermark="5 seconds",
+        ).select(
+            F.unix_timestamp("window_start").alias("ws_epoch"),
+            "n_rows", "distinct_est",
+        )
+        q = (
+            out.writeStream.format("memory").queryName("sketch_window_tz_t")
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "tzckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.table("sketch_window_tz_t").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    # W1 finalizes exactly once, with the correct epoch and counts
+    w1 = base // 60 * 60
+    w1_rows = [r for r in rows if r.ws_epoch == w1]
+    assert len(w1_rows) == 1, f"W1 emitted {len(w1_rows)} times"
+    assert w1_rows[0].n_rows == 100  # all of b1 lands in [base, base+60)
+    assert abs(w1_rows[0].distinct_est - 40) <= 2
