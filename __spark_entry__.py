@@ -441,12 +441,55 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact, blocked matmul)."""
+    """Embedding-cosine near-duplicate pairs — the EXACT small-corpus
+    baseline (tiled blocked matmul), now behind cosine_pairs_ge's
+    explicit max_exact_rows gate; the packaged scale path with the
+    same output columns is cosine_pairs_approx (LSH candidates +
+    codegen exact-cosine verify), contract-checked by
+    cosine_pairs_lsh_recall below."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = similarity.cosine_pairs_ge(emb, 0.42)
     # pair identity only: float32(DuckDB) vs float64(numpy) cosine
     # differs in low bits; magnitudes are asserted in tests instead
     return out.select("id_a", "id_b")
+
+
+def q_cosine_pairs_lsh_recall(spark, sf_dir):
+    """Sub-quadratic cosine pair mining (cosine_pairs_approx: banded
+    hyperplane-LSH candidates -> whole-stage-codegen exact-cosine
+    verify) against the exact all-pairs truth, as a bound-style
+    oracle: precision is exactly 1 BY CONSTRUCTION (every candidate
+    is exact-verified, so the approx set is a subset of the exact
+    set — asserted, not just bounded), and recall >= 0.9 (fixed
+    seed + fixed data => deterministic; measured 1.0 at sf0.01 and
+    0.9932 at sf0.1 with target_recall=0.98 planning 141 bands at
+    threshold 0.42, the hardest regime: rho ~ 0.65). DuckDB
+    recomputes the exact pair count."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = (
+        similarity.cosine_pairs_ge(emb, 0.42)
+        .select("id_a", "id_b").withColumn("ex", F.lit(1))
+    )
+    approx = (
+        similarity.cosine_pairs_approx(emb, 0.42, target_recall=0.98)
+        .select("id_a", "id_b").withColumn("ap", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.sum(F.coalesce("ex", F.lit(0))).alias("n_exact"),
+            F.sum(F.coalesce("ap", F.lit(0))).alias("n_approx"),
+            F.sum(F.coalesce("ex", F.lit(0))
+                  * F.coalesce("ap", F.lit(0))).alias("n_both"),
+        )
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact_pairs"),
+            (F.col("n_both") == F.col("n_approx")).alias("precision_exact"),
+            (F.col("n_both") >= 0.9 * F.col("n_exact")).alias(
+                "recall_ge_bound"
+            ),
+        )
+    )
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -739,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "cosine_pairs_lsh_recall": q_cosine_pairs_lsh_recall,
         "simhash_docs": q_simhash_docs,
         "rolling_fingerprints": q_rolling_fingerprints,
         "ann_topk": q_ann_topk,
@@ -916,6 +960,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+        """,
+        "cosine_pairs_lsh_recall": """
+            SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+                   TRUE AS precision_exact, TRUE AS recall_ge_bound
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42

@@ -285,3 +285,52 @@ def test_cosine_pairs_tiled_matches_single_group(emb):
         (min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in zip(ia, ib)
     }
     assert got == expect and len(expect) > 0
+
+
+def test_cosine_pairs_exact_gate(emb):
+    """The unblocked exact path refuses corpora above
+    max_exact_rows instead of silently scheduling a quadratic job."""
+    with pytest.raises(ValueError, match="cosine_pairs_approx"):
+        similarity.cosine_pairs_ge(emb, 0.42, max_exact_rows=10).collect()
+
+
+def test_cosine_pairs_approx_vs_exact(emb):
+    """cosine_pairs_approx: precision exactly 1 (subset of the exact
+    pair set, with matching exact cosines), recall >= the planned
+    target minus margin; deterministic given the fixed seed."""
+    exact = similarity.cosine_pairs_ge(emb, 0.42).toPandas()
+    ex = {(r.id_a, r.id_b): r.cosine for r in exact.itertuples()}
+    approx = similarity.cosine_pairs_approx(
+        emb, 0.42, target_recall=0.98
+    ).toPandas()
+    ap = {(r.id_a, r.id_b): r.cosine for r in approx.itertuples()}
+    assert set(ap) <= set(ex)  # precision 1
+    assert len(ap) >= 0.9 * len(ex) > 0  # recall with margin
+    for k, v in ap.items():  # verified cosines are the exact ones
+        assert abs(v - ex[k]) < 1e-9
+    # band planning: more bands at lower threshold, fewer at higher
+    assert similarity.plan_bands(0.42, 8, 0.98) > similarity.plan_bands(
+        0.9, 8, 0.98
+    )
+
+
+def test_cosine_pairs_approx_high_threshold(spark):
+    """At near-dup thresholds (the training-data case) the planned
+    band count is small and recall is ~1: planted near-identical
+    vectors are all recovered."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 32))
+    # 10 planted near-dup partners: tiny perturbation of rows 0..9
+    dups = base[:10] + 0.02 * rng.standard_normal((10, 32))
+    vecs = np.vstack([base, dups])
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(50, dtype=np.int64),
+        "embedding": [v.astype(np.float64).tolist() for v in vecs],
+    })
+    emb_df = spark.createDataFrame(pdf)
+    out = similarity.cosine_pairs_approx(
+        emb_df, 0.95, bits_per_band=8, target_recall=0.99
+    ).toPandas()
+    got = set(zip(out.id_a, out.id_b))
+    assert {(i, i + 40) for i in range(10)} <= got
+    assert similarity.plan_bands(0.95, 8, 0.99) <= 12
