@@ -212,19 +212,23 @@ def q_cuckoo_per_lang(spark, sf_dir):
     two-stage mergeable-sketch path as every other sketch (the
     cuckoo IS a sketch under the UDAF protocol): per-lang occupancy
     equals the lang's distinct-key count (capacity amply sized →
-    zero failed inserts), and every lang's own keys are members."""
+    zero failed inserts), and every lang's own keys are members.
+    Each lang's filter is sized from its OWN cardinality (keyed
+    factory), so size_in_bytes tracks group cardinality instead of
+    every group paying for the largest one, and the low-load stage-1
+    partials ship sparse (blob v3)."""
     docs = _docs(spark, sf_dir)
     counts = {r.lang: r.n for r in
               docs.groupBy("lang").agg(F.countDistinct("key").alias("n")).collect()}
-    cap = _capacity(max(counts.values()))
 
     def fin(sk):
         return {"occupied": int(sk.occupied), "failures": int(sk.failures)}
 
     per_lang = grouped_sketch_partial(
         docs.dropDuplicates(["lang", "key"]), ["lang"], "key",
-        lambda: CuckooFilter(cap, CFG), fin,
+        lambda key: CuckooFilter(_capacity(counts[key[0]]), CFG), fin,
         "occupied long, failures long",
+        keyed=True, sketch_cls=CuckooFilter,
     )
     return per_lang.select("lang", "occupied", "failures")
 

@@ -767,10 +767,23 @@ class CuckooFilter:
     #: Blob format version. v1 used the xxhash64+FINGERPRINT_SEED
     #: family; v2 probes with the chained FP_SALT/DISP_SALT family,
     #: so v1 blobs MUST be rejected (probing them with the new family
-    #: yields false negatives).
-    BLOB_VERSION = 2
+    #: yields false negatives). v3 keeps the v2 hash family and adds
+    #: a 1-byte payload-layout flag after the header: 0 = dense
+    #: bucket table (v2 payload), 1/2 = sparse (uint32/uint64 bucket
+    #: indices + stored tags) — the format partial-aggregation blobs
+    #: ship when the table is mostly empty. v2 blobs (same family)
+    #: remain readable.
+    BLOB_VERSION = 3
+    _LAYOUT_DENSE, _LAYOUT_SPARSE32, _LAYOUT_SPARSE64 = 0, 1, 2
 
     def to_bytes(self) -> bytes:
+        """Serialize, choosing the smaller of the dense table and the
+        sparse (bucket_idx, tag) listing. A stage-1 partial sketch in
+        ``grouped_sketch_partial`` holds ~1/num_partitions of one
+        group's keys in a table sized for the whole group — dense
+        shipping made the stage-2 shuffle
+        partitions x groups x full-filter-bytes; sparse blobs scale
+        with what the partial actually stores."""
         hdr = _HEADER.pack(
             _MAGIC, self.BLOB_VERSION, self.config.bits_per_tag,
             self.config.bucket_size,
@@ -779,7 +792,25 @@ class CuckooFilter:
             self.num_buckets, self.capacity, self.occupied, self.kicks,
             self.failures, self.inserts,
         )
-        return hdr + self.buckets.tobytes()
+        stored = self.count_occupied_slots()
+        idx_dtype = np.uint32 if self.num_buckets <= 0xFFFFFFFF else np.uint64
+        tag_bytes = self.buckets.dtype.itemsize
+        sparse_cost = 8 + stored * (np.dtype(idx_dtype).itemsize + tag_bytes)
+        if sparse_cost < self.buckets.nbytes:
+            bi, slot = np.nonzero(self.buckets)
+            layout = (
+                self._LAYOUT_SPARSE32
+                if idx_dtype is np.uint32
+                else self._LAYOUT_SPARSE64
+            )
+            return (
+                hdr
+                + bytes([layout])
+                + struct.pack("<Q", stored)
+                + bi.astype(idx_dtype).tobytes()
+                + self.buckets[bi, slot].tobytes()
+            )
+        return hdr + bytes([self._LAYOUT_DENSE]) + self.buckets.tobytes()
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "CuckooFilter":
@@ -788,7 +819,7 @@ class CuckooFilter:
         )
         if magic != _MAGIC:
             raise ValueError("bad cuckoo filter blob")
-        if ver != cls.BLOB_VERSION:
+        if ver not in (2, cls.BLOB_VERSION):
             raise ValueError(
                 f"cuckoo blob version {ver} not supported (expected "
                 f"{cls.BLOB_VERSION}; the hash family changed — rebuild "
@@ -803,13 +834,41 @@ class CuckooFilter:
         flt.capacity = cap
         flt.num_buckets = nb
         flt._mask = np.uint64(nb - 1)
-        flt.buckets = (
-            np.frombuffer(blob, dtype=cfg.tag_dtype, offset=_HEADER.size)
-            .reshape(nb, b)
-            .copy()
-        )
-        # prefix-fill invariant holds for all serialized filters
-        flt.fill = np.count_nonzero(flt.buckets, axis=1).astype(np.int8)
+        if ver == 2:  # legacy dense payload, no layout byte
+            layout, off = cls._LAYOUT_DENSE, _HEADER.size
+        else:
+            layout, off = blob[_HEADER.size], _HEADER.size + 1
+        if layout == cls._LAYOUT_DENSE:
+            flt.buckets = (
+                np.frombuffer(blob, dtype=cfg.tag_dtype, offset=off)
+                .reshape(nb, b)
+                .copy()
+            )
+            flt.fill = np.count_nonzero(flt.buckets, axis=1).astype(np.int8)
+        else:
+            idx_dtype = (
+                np.uint32 if layout == cls._LAYOUT_SPARSE32 else np.uint64
+            )
+            (stored,) = struct.unpack_from("<Q", blob, off)
+            off += 8
+            bi = np.frombuffer(
+                blob, dtype=idx_dtype, count=stored, offset=off
+            ).astype(np.int64)
+            off += stored * np.dtype(idx_dtype).itemsize
+            tags = np.frombuffer(
+                blob, dtype=cfg.tag_dtype, count=stored, offset=off
+            )
+            flt.buckets = np.zeros((nb, b), dtype=cfg.tag_dtype)
+            # bi is sorted (np.nonzero is row-major): slot within each
+            # bucket = position minus the bucket run's start
+            if stored:
+                starts = np.r_[
+                    0, np.flatnonzero(np.diff(bi)) + 1
+                ]
+                counts = np.diff(np.r_[starts, stored])
+                slot = np.arange(stored) - np.repeat(starts, counts)
+                flt.buckets[bi, slot] = tags
+            flt.fill = np.count_nonzero(flt.buckets, axis=1).astype(np.int8)
         flt._alt_tab = None
         flt._claim = None
         flt._win_scratch = None

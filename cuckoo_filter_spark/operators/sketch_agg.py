@@ -126,6 +126,8 @@ def grouped_sketch_partial(
     finisher: Callable[[object], dict],
     finisher_schema: str,
     unsigned_keys: bool = True,
+    keyed: bool = False,
+    sketch_cls: type | None = None,
 ) -> DataFrame:
     """Skew-proof grouped sketching (the north_rule's salted-
     repartition requirement, solved one better for mergeable state):
@@ -135,9 +137,22 @@ def grouped_sketch_partial(
     and stage 2 shuffles only the tiny serialized blobs to merge
     per group. Same results as :func:`grouped_sketch` (merge
     associativity), different physical plan.
+
+    With ``keyed=True``, ``make_sketch(key_tuple)`` is called with
+    the group key (stringified values, one per group col) so each
+    group gets its OWN geometry — e.g. a cuckoo filter sized from
+    that group's cardinality instead of the largest group's. Only
+    the per-group geometry must agree across partitions (it does:
+    the factory is a pure function of the key), which is all the
+    stage-2 merge needs; pass ``sketch_cls`` (the type whose
+    ``from_bytes`` merges blobs) since no key-free prototype exists.
     """
-    proto = make_sketch()
-    cls = type(proto)
+    if keyed:
+        if sketch_cls is None:
+            raise ValueError("keyed=True requires sketch_cls")
+        cls = sketch_cls
+    else:
+        cls = type(make_sketch())
     partial_schema = (
         ", ".join(f"{c} string" for c in group_cols) + ", blob binary"
     )
@@ -154,7 +169,11 @@ def grouped_sketch_partial(
                     key = (key,)
                 sk = sketches.get(key)
                 if sk is None:
-                    sk = sketches[key] = make_sketch()
+                    sk = sketches[key] = (
+                        make_sketch(tuple(str(k) for k in key))
+                        if keyed
+                        else make_sketch()
+                    )
                 sk.add_many(_column_values(g, col, unsigned_keys))
         for key, sk in sketches.items():
             row = {c: [str(k)] for c, k in zip(group_cols, key)}

@@ -8,7 +8,9 @@ import numpy as np
 import pytest
 
 from cuckoo_filter_spark.config import CuckooConfig
-from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+from cuckoo_filter_spark.core.cuckoo import _HEADER, CuckooFilter
+
+_HEADER_SIZE = _HEADER.size
 
 SEED = 42  # test_cuckoo_filter.cu:17
 
@@ -279,13 +281,66 @@ def test_blob_version_guard():
     """Regression (ADVICE r1): v1 blobs were written with the old
     xxhash64+FINGERPRINT_SEED family; probing them with the current
     chained family would yield false negatives, so from_bytes must
-    reject any non-current version byte."""
-    import struct
-
+    reject v1. v2 (same family as v3, dense payload) stays readable."""
     f = CuckooFilter(1024, CuckooConfig())
     f.insert_many(rand_keys(500))
     blob = f.to_bytes()
-    assert blob[4] == CuckooFilter.BLOB_VERSION == 2
+    assert blob[4] == CuckooFilter.BLOB_VERSION == 3
     stale = blob[:4] + bytes([1]) + blob[5:]
     with pytest.raises(ValueError, match="version"):
         CuckooFilter.from_bytes(stale)
+
+
+def test_blob_v2_dense_compat():
+    """A v2 blob (header + dense table, no layout byte) round-trips:
+    the hash family is unchanged, only the v3 layout byte is new."""
+    f = CuckooFilter(1024, CuckooConfig())
+    keys = rand_keys(900)
+    f.insert_many(keys)
+    blob = f.to_bytes()
+    assert blob[4] == 3
+    if blob[_HEADER_SIZE] == 0:  # dense v3 -> v2 = drop layout byte
+        v2 = blob[:4] + bytes([2]) + blob[5:_HEADER_SIZE] + blob[
+            _HEADER_SIZE + 1:
+        ]
+    else:  # sparse v3: rebuild the dense v2 payload from the table
+        v2 = blob[:4] + bytes([2]) + blob[5:_HEADER_SIZE] + f.buckets.tobytes()
+    g = CuckooFilter.from_bytes(v2)
+    assert g.contains_many(keys).all()
+    assert np.array_equal(g.buckets, f.buckets)
+
+
+def test_blob_sparse_roundtrip_and_size():
+    """Low-load filters serialize sparse and shrink >=5x; membership,
+    metrics, fill, and merges are identical to the dense layout
+    (stage-2 of grouped_sketch_partial merges these blobs)."""
+    cfg = CuckooConfig()
+    f = CuckooFilter(200_000, cfg)
+    keys = rand_keys(4000)
+    f.insert_many(keys)
+    blob = f.to_bytes()
+    assert blob[_HEADER_SIZE] in (1, 2)  # sparse layout chosen
+    dense_bytes = f.buckets.nbytes
+    assert len(blob) * 5 <= dense_bytes
+    g = CuckooFilter.from_bytes(blob)
+    assert np.array_equal(g.buckets, f.buckets)
+    assert np.array_equal(g.fill, f.fill)
+    assert g.contains_many(keys).all()
+    assert g.metrics() == f.metrics()
+    # a near-full filter stays dense (sparse would be larger)
+    h = CuckooFilter(4096, cfg)
+    h.insert_many(rand_keys(3800))
+    hb = h.to_bytes()
+    assert hb[_HEADER_SIZE] == 0
+    assert CuckooFilter.from_bytes(hb).count_occupied_slots() == (
+        h.count_occupied_slots()
+    )
+    # sparse blobs merge like dense ones
+    f2 = CuckooFilter(200_000, cfg)
+    more = rand_keys(3000, hi=2**61)
+    f2.insert_many(more)
+    merged = CuckooFilter.from_bytes(blob).merge_in_place(
+        CuckooFilter.from_bytes(f2.to_bytes())
+    )
+    assert merged.contains_many(keys).all()
+    assert merged.contains_many(more).all()

@@ -274,6 +274,49 @@ def test_grouped_sketch_partial_matches_direct(spark, sf_dir):
     assert {(r.lang, r.est) for r in a} == {(r.lang, r.est) for r in b}
 
 
+def test_grouped_sketch_partial_keyed_capacity(spark):
+    """keyed=True sizes each group's sketch from its own key: a
+    skewed two-group build gets proportionally-sized cuckoo filters
+    (not every group paying for the largest), zero failed inserts,
+    and per-group occupancy equal to the group's cardinality."""
+    from cuckoo_filter_spark.config import CuckooConfig
+    from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+    from cuckoo_filter_spark.operators.sketch_agg import (
+        grouped_sketch_partial,
+    )
+    from pyspark.sql import functions as F
+
+    big_n, small_n = 20000, 200
+    df = (
+        spark.range(big_n).select(
+            F.lit("big").alias("g"), F.col("id").alias("key"))
+        .unionAll(
+            spark.range(small_n).select(
+                F.lit("small").alias("g"),
+                (F.col("id") + 10_000_000).alias("key"))
+        )
+        .repartition(8)
+    )
+    caps = {"big": int(big_n / 0.9), "small": int(small_n / 0.9)}
+    cfg = CuckooConfig()
+    out = grouped_sketch_partial(
+        df, ["g"], "key",
+        lambda key: CuckooFilter(caps[key[0]], cfg),
+        lambda sk: {
+            "occ": int(sk.occupied), "fails": int(sk.failures),
+            "nbytes": int(sk.size_in_bytes()),
+        },
+        "occ long, fails long, nbytes long",
+        keyed=True, sketch_cls=CuckooFilter,
+    ).collect()
+    got = {r.g: r for r in out}
+    assert got["big"].occ == big_n and got["big"].fails == 0
+    assert got["small"].occ == small_n and got["small"].fails == 0
+    # geometry tracks group cardinality (power-of-two bucket rounding
+    # bounds the ratio, 20000/200 -> at least 32x)
+    assert got["big"].nbytes >= 32 * got["small"].nbytes
+
+
 def test_aggregate_sketch_empty_input(spark):
     """The fan-in reduce path must return the prototype sketch on an
     empty DataFrame (no partials to merge)."""
