@@ -336,3 +336,119 @@ def test_stream_sketch_window_nonutc_timezone(spark, tmp_path):
     assert len(w1_rows) == 1, f"W1 emitted {len(w1_rows)} times"
     assert w1_rows[0].n_rows == 100  # all of b1 lands in [base, base+60)
     assert abs(w1_rows[0].distinct_est - 40) <= 2
+
+
+def _run_once(df, out_dir, ckpt):
+    # a FILE sink, not the memory sink: only fault-tolerant sinks
+    # support recovering from a checkpoint, which is the point here
+    q = (
+        df.writeStream.format("parquet").option("path", out_dir)
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def _parquet_parts(out_dir):
+    import glob
+
+    return set(glob.glob(out_dir + "/*.parquet"))
+
+
+def test_stream_build_sharded_restart(spark, tmp_path):
+    """Kill-and-resume: filter state built in run 1 survives the
+    checkpoint restart — keys already inserted before the stop gate
+    as NOT fresh in run 2, exactly as if the stream never stopped."""
+    src_dir = str(tmp_path / "restartsrc")
+    ckpt = str(tmp_path / "restartckpt")
+    out_dir = str(tmp_path / "restartout")
+    (
+        spark.range(0, 1000).select(F.col("id").alias("key"))
+        .write.parquet(src_dir + "/b1")
+    )
+    stream_def = lambda: sm.stream_build_sharded(
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", "1").parquet(src_dir + "/*"),
+        "key", 4096, 4, CFG,
+    )
+    _run_once(stream_def(), out_dir, ckpt)
+    run1 = spark.read.parquet(out_dir).collect()
+    assert len(run1) == 1000 and sum(r.fresh for r in run1) >= 995
+    run1_files = _parquet_parts(out_dir)
+
+    # the query is now STOPPED (simulated failure/redeploy); new data
+    # arrives, then a fresh query object resumes from the checkpoint
+    (
+        spark.range(500, 1500).select(F.col("id").alias("key"))
+        .write.parquet(src_dir + "/b2")
+    )
+    _run_once(stream_def(), out_dir, ckpt)
+    new_files = sorted(_parquet_parts(out_dir) - run1_files)
+    assert new_files, "restarted query produced no output"
+    run2 = spark.read.parquet(*new_files).collect()
+    assert len(run2) == 1000  # only the new batch replays
+    seen_again = [r for r in run2 if 500 <= r.key < 1000]
+    novel = [r for r in run2 if r.key >= 1000]
+    assert len(seen_again) == 500 and not any(r.fresh for r in seen_again)
+    assert len(novel) == 500 and sum(r.fresh for r in novel) >= 495
+
+
+def test_stream_sketch_window_restart(spark, tmp_path):
+    """Kill-and-resume mid-window: a window OPEN at the stop point
+    (sketch state checkpointed, not yet finalized) must emit exactly
+    once after restart, counting rows from BOTH runs."""
+    src_dir = str(tmp_path / "wrestartsrc")
+    ckpt = str(tmp_path / "wrestartckpt")
+    out_dir = str(tmp_path / "wrestartout")
+    base = 1_700_000_100  # window-aligned (divisible by 60)
+    assert base % 60 == 0
+    (
+        spark.range(0, 300)
+        .select(
+            (F.col("id") % 120).alias("key"),
+            F.timestamp_seconds(F.lit(base) + (F.col("id") % 50)).alias("ts"),
+        )
+        .write.parquet(src_dir + "/b1")
+    )
+    stream_def = lambda: sm.stream_sketch_window(
+        spark.readStream.schema("key long, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(src_dir + "/*"),
+        "ts", "key", window_duration="60 seconds", watermark="5 seconds",
+    )
+    _run_once(stream_def(), out_dir, ckpt)
+    # watermark has not passed W1's end: nothing finalized yet,
+    # W1's sketch lives only in checkpointed state
+    assert not _parquet_parts(out_dir) or (
+        spark.read.parquet(out_dir).count() == 0
+    )
+
+    # more rows for the SAME window, plus a late batch that pushes
+    # the watermark past W1's end — all in the resumed query
+    (
+        spark.range(0, 100)
+        .select(
+            (F.col("id") % 80 + 200).alias("key"),
+            F.timestamp_seconds(F.lit(base) + 50 + (F.col("id") % 9))
+            .alias("ts"),
+        )
+        .write.parquet(src_dir + "/b2")
+    )
+    (
+        spark.range(0, 10)
+        .select(
+            (F.col("id") + 7000).alias("key"),
+            F.timestamp_seconds(F.lit(base + 400)).alias("ts"),
+        )
+        .write.parquet(src_dir + "/b3")
+    )
+    _run_once(stream_def(), out_dir, ckpt)
+    rows = [
+        r for r in spark.read.parquet(out_dir).collect()
+        if int(r.window_start.timestamp()) == base
+    ]
+    assert len(rows) == 1, "window W1 must emit exactly once"
+    # 300 rows from run 1 (checkpointed sketch) + 100 from run 2
+    assert rows[0].n_rows == 400
+    exact = 120 + 80  # key ranges are disjoint across the two batches
+    assert abs(rows[0].distinct_est - exact) <= max(2, int(0.05 * exact))
