@@ -1187,6 +1187,50 @@ class ShardedOffsetFilter:
             )
         )
 
+    def contains_broadcast(
+        self, queries: DataFrame, out_col: str = "member"
+    ) -> DataFrame:
+        """Zero-shuffle batched membership: every shard blob is
+        broadcast once (offset filters are small per shard — the
+        whole point of sharding) and each task routes its keys to
+        the right shard locally, mirroring
+        :meth:`ShardedCuckooFilter.contains_broadcast`. Use when the
+        probe stream dwarfs the filter; the routed :meth:`contains`
+        is the path when the filter dwarfs executor memory."""
+        from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+        spark = queries.sparkSession
+        key_col = self.key_col
+        num_shards = self.num_shards
+        blobs = {
+            int(r.shard_id): bytes(r.blob)
+            for r in self.shards.select("shard_id", "blob").collect()
+        }
+        bc = spark.sparkContext.broadcast(blobs)
+
+        @F.pandas_udf(BooleanType())
+        def member(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            from cuckoo_filter_spark.hashing import xxhash64_u64
+
+            filters = {
+                sid: OffsetCuckooFilter.from_bytes(b)
+                for sid, b in bc.value.items()
+            }
+            for s in batches:
+                keys = s.to_numpy(np.int64, copy=False).view(np.uint64)
+                sids = xxhash64_u64(keys, seed=42).view(np.int64) % num_shards
+                res = np.zeros(len(keys), dtype=bool)
+                order = np.argsort(sids, kind="stable")
+                sk, ss = keys[order], sids[order]
+                bounds = np.flatnonzero(np.r_[True, ss[1:] != ss[:-1]])
+                for b0, b1 in zip(bounds, np.r_[bounds[1:], len(ss)]):
+                    flt = filters.get(int(ss[b0]))
+                    if flt is not None:
+                        res[order[b0:b1]] = flt.contains_many(sk[b0:b1])
+                yield pd.Series(res)
+
+        return queries.withColumn(out_col, member(F.col(key_col)))
+
     def delete(
         self, deletes: DataFrame
     ) -> tuple[DataFrame, "ShardedOffsetFilter"]:

@@ -254,6 +254,8 @@ def stream_apply_ops(
     num_shards: int,
     config=None,
     seq_col: str | None = None,
+    filter_factory=None,
+    filter_cls=None,
 ):
     """Stateful streaming application of a mixed insert/delete op
     stream — the full reference op set (``insertMany`` /
@@ -272,7 +274,15 @@ def stream_apply_ops(
     it before applying, so insert-then-delete of the same key in one
     micro-batch behaves exactly like the sequential reference calls
     regardless of partition layout. Consecutive same-op runs are
-    applied as one vectorized kernel call either way."""
+    applied as one vectorized kernel call either way.
+
+    Any filter exposing the kernel protocol (``insert_many`` /
+    ``delete_many`` / ``to_bytes`` / ``from_bytes``) can hold the
+    state: pass ``filter_factory`` (per-shard constructor, sized by
+    the caller) with ``filter_cls`` — e.g. the Offset-policy
+    ``OffsetCuckooFilter``, giving all three bucket policies the
+    same streaming surface. Defaults to the XOR-policy
+    :class:`~cuckoo_filter_spark.core.cuckoo.CuckooFilter`."""
     import math
 
     import numpy as np
@@ -292,6 +302,11 @@ def stream_apply_ops(
 
     cfg = config or CuckooConfig()
     per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+    if filter_factory is None:
+        filter_factory = lambda: CuckooFilter(per_shard_cap, cfg)
+        filter_cls = CuckooFilter
+    elif filter_cls is None:
+        raise ValueError("filter_factory requires filter_cls")
     out_schema = StructType([
         StructField(key_col, LongType()),
         StructField("op", StringType()),
@@ -316,9 +331,9 @@ def stream_apply_ops(
     def update(key, pdfs, state: GroupState):
         shard_id = int(key[0])
         if state.exists:
-            flt = CuckooFilter.from_bytes(bytes(state.get[0]))
+            flt = filter_cls.from_bytes(bytes(state.get[0]))
         else:
-            flt = CuckooFilter(per_shard_cap, cfg)
+            flt = filter_factory()
         if seq_col is not None:
             # deterministic total order: gather the shard's batch and
             # sort by the caller's sequence column before applying

@@ -121,6 +121,34 @@ def test_sharded_offset_filter_spark(spark):
     assert fpr <= 2.5 * (2 * 4 * 1.0 / (1 << 15))
 
 
+def test_sharded_offset_contains_broadcast(spark):
+    """Zero-shuffle broadcast probe parity: same answers as the
+    shard-routed contains on positives (no FN) and negatives (same
+    FP set — identical filters, identical probes)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.membership import ShardedOffsetFilter
+
+    keys = _keys(20_000).view(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"key": keys}))
+    filt = ShardedOffsetFilter.build(df, "key", 30_000, 8)
+    filt.shards.persist().count()
+    pos = filt.contains_broadcast(df.select("key"))
+    assert pos.filter(~F.col("member")).count() == 0
+    neg_keys = (_keys(20_000, seed=3) | np.uint64(1 << 63)).view(np.int64)
+    neg = spark.createDataFrame(pd.DataFrame({"key": neg_keys}))
+    bc_hits = {
+        r.key for r in
+        filt.contains_broadcast(neg).filter(F.col("member")).collect()
+    }
+    routed_hits = {
+        r.key for r in filt.contains(neg).filter(F.col("member")).collect()
+    }
+    assert bc_hits == routed_hits
+    filt.shards.unpersist()
+
+
 def test_sharded_offset_delete(spark):
     """delete-then-requery parity for the distributed Offset path:
     deleted keys vanish, survivors all remain (reference deleteMany

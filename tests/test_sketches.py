@@ -274,6 +274,61 @@ def test_grouped_sketch_partial_matches_direct(spark, sf_dir):
     assert {(r.lang, r.est) for r in a} == {(r.lang, r.est) for r in b}
 
 
+def test_tdigest_merge_order_invariance():
+    """Tree-reduce merges happen in whatever order partitions finish;
+    the estimate must stay within the sketch's error envelope for
+    EVERY ordering (the value-sketch analog of the cuckoo merge
+    associativity suite). Serialization round-trips between merges
+    mirror the blob exchange between Spark stages."""
+    from cuckoo_filter_spark.core.tdigest import TDigest
+
+    rng = np.random.default_rng(11)
+    parts = [rng.lognormal(3.0, 1.0, 5000) for _ in range(12)]
+    all_vals = np.sort(np.concatenate(parts))
+
+    def ref_q(q):
+        return all_vals[min(len(all_vals) - 1, int(q * len(all_vals)))]
+
+    for trial in range(5):
+        order = rng.permutation(12)
+        acc = None
+        for i in order:
+            sk = TDigest(200)
+            sk.add_many(parts[i])
+            sk = TDigest.from_bytes(sk.to_bytes())
+            acc = sk if acc is None else acc.merge_in_place(sk)
+        assert acc.total_weight == len(all_vals)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = acc.quantile(q)
+            lo = ref_q(max(0.0, q - 0.02))
+            hi = ref_q(min(1.0, q + 0.02))
+            assert lo <= est <= hi, (trial, q, est, lo, hi)
+
+
+def test_kll_merge_order_invariance():
+    """Same contract for KLL: rank error of the merged sketch stays
+    within the k=200 envelope (~1.7/k) regardless of merge order."""
+    from cuckoo_filter_spark.core.kll import KLLSketch
+
+    rng = np.random.default_rng(13)
+    parts = [rng.normal(50.0, 12.0, 5000) for _ in range(12)]
+    all_vals = np.sort(np.concatenate(parts))
+    n = len(all_vals)
+
+    for trial in range(5):
+        order = rng.permutation(12)
+        acc = None
+        for i in order:
+            sk = KLLSketch(200)
+            sk.add_many(parts[i])
+            sk = KLLSketch.from_bytes(sk.to_bytes())
+            acc = sk if acc is None else acc.merge_in_place(sk)
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+            est = acc.quantile(q)
+            true_rank = np.searchsorted(all_vals, est) / n
+            assert abs(true_rank - q) <= 0.025, (trial, q, true_rank)
+
+
 def test_grouped_sketch_partial_keyed_capacity(spark):
     """keyed=True sizes each group's sketch from its own key: a
     skewed two-group build gets proportionally-sized cuckoo filters

@@ -201,6 +201,49 @@ def test_stream_apply_ops_seq_order(spark, tmp_path):
     assert all(r.ok for r in rows)  # delete AFTER insert: both succeed
 
 
+def test_stream_apply_ops_offset_policy(spark, tmp_path):
+    """All three bucket policies share the streaming op-stream
+    surface: the same mixed insert/delete run as
+    test_stream_apply_ops, with OffsetCuckooFilter state (choice-bit
+    fingerprints, non-pow2 bucket counts) via filter_factory."""
+    from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+    src_dir = str(tmp_path / "offsetopsrc")
+    (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("key"), F.lit("insert").alias("op"))
+        .write.parquet(src_dir + "/b1")
+    )
+    (
+        spark.range(0, 500)
+        .select(F.col("id").alias("key"), F.lit("delete").alias("op"))
+        .write.parquet(src_dir + "/b2")
+    )
+    stream = (
+        spark.readStream.schema("key long, op string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    out = sm.stream_apply_ops(
+        stream, "key", "op", 4096, 4,
+        filter_factory=lambda: OffsetCuckooFilter(1100),
+        filter_cls=OffsetCuckooFilter,
+    )
+    q = (
+        out.writeStream.format("memory").queryName("offset_ops_t")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "offsetopckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("offset_ops_t").collect()
+    assert len(rows) == 1500
+    ins = [r for r in rows if r.op == "insert"]
+    dels = [r for r in rows if r.op == "delete"]
+    assert len(ins) == 1000 and all(r.ok for r in ins)
+    assert len(dels) == 500 and all(r.ok for r in dels)
+
+
 def test_stream_sketch_window(spark, tmp_path):
     """Watermarked per-window HLL rollup: windows finalize exactly
     once when the watermark passes their end, and the estimate
