@@ -34,7 +34,9 @@ from cuckoo_filter_spark.core.hll import HyperLogLog
 from cuckoo_filter_spark.core.kll import KLLSketch
 from cuckoo_filter_spark.core.tdigest import TDigest
 from cuckoo_filter_spark.hashing import content_key_sql, content_key_expr, keys_to_unsigned
-from cuckoo_filter_spark.operators import dedup, multimodal, similarity, text
+from cuckoo_filter_spark.operators import (
+    dedup, multimodal, sampling, similarity, text,
+)
 from cuckoo_filter_spark.operators.membership import (
     DistributedCuckooFilter, ShardedCuckooFilter,
 )
@@ -395,6 +397,34 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs, "text", "doc_id")
 
 
+def q_hash_sample_docs(spark, sf_dir):
+    """Deterministic 10% sample keyed on doc_id (md5-derived 32-bit
+    priority, portable to the DuckDB oracle byte-for-byte). Stable
+    across runs/partitionings; nested with any smaller fraction —
+    the training-data property df.sample cannot give. Pure codegen
+    filter, pushed to the scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.hash_sample(docs, "doc_id", 0.10).select(
+        "doc_id", "lang"
+    )
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Per-language token-budget mix: keep documents in deterministic
+    priority order until each language reaches 3000 whitespace
+    tokens — the 'cap each source at N tokens' step of assembling a
+    training mixture. Skew-safe execution (bucketed canonical order,
+    only the boundary bucket per group is window-sorted); the oracle
+    is the equivalent single global window cutoff."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_w = docs.select(
+        "lang", "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.token_budget_sample(
+        with_w, "lang", "n_tokens", "doc_id", budget=3000, buckets=64
+    )
+
+
 def q_token_quality_stats(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", *text.quality_features(F.col("text")))
@@ -441,6 +471,31 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS — the step after pair mining that a
+    real dedup pipeline needs (pairs are not transitive; A~B and B~C
+    is one cluster even when A~C dips below threshold). Exact-verified
+    3-gram Jaccard >= 0.85 pairs (same candidate generation as
+    ngram_jaccard_pairs) -> DataFrame connected components (min-label
+    propagation + pointer jumping, O(log diameter) rounds, shuffles
+    carry only (node,label) longs) -> every document labeled with its
+    component's min doc_id. Oracle: true all-pairs Jaccard edges + a
+    DuckDB recursive CTE computing min reachable id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.near_dup_pairs(
+        docs, "text", "doc_id", threshold=0.85, num_hashes=512, bands=64
+    )
+    comp = dedup.connected_components(pairs.select("id_a", "id_b"))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+        )
     )
 
 
@@ -780,11 +835,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
         "kll_events_value": q_kll_events_value,
         "dedup_exact": q_dedup_exact,
+        "hash_sample_docs": q_hash_sample_docs,
+        "token_budget_mix": q_token_budget_mix,
         "token_quality_stats": q_token_quality_stats,
         "lang_detect": q_lang_detect,
         "doc_fingerprints": q_doc_fingerprints,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "embedding_near_dups": q_embedding_near_dups,
         "cosine_pairs_lsh_recall": q_cosine_pairs_lsh_recall,
         "simhash_docs": q_simhash_docs,
@@ -895,6 +953,31 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"({q}, TRUE)" for q in _QUANTILES) + ") t(q, rank_ok)",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "hash_sample_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  < 429496729
+        """,
+        "token_budget_mix": """
+            WITH w AS (
+              SELECT lang, doc_id,
+                     CASE WHEN length(coll) = 0 THEN 0
+                          ELSE length(coll) - length(replace(coll, ' ', '')) + 1
+                     END AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS p
+              FROM (SELECT lang, doc_id,
+                           regexp_replace(trim(text), '\\s+', ' ', 'g') AS coll
+                    FROM documents)
+            ), c AS (
+              SELECT lang, doc_id, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY lang
+                                         ORDER BY p % 64, p, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM w
+            )
+            SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM c WHERE cum <= 3000
+        """,
         "token_quality_stats": _TOKEN_SQL + """
             SELECT doc_id,
                    length(text) AS n_chars,
@@ -961,6 +1044,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
             FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.85
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE n AS (
+              SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+              FROM documents
+            ), ix AS (
+              SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM n
+            ), sh AS (
+              SELECT doc_id, list(DISTINCT substr(t, CAST(i AS INT), 3)) AS s
+              FROM ix GROUP BY doc_id
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a, sh b WHERE a.doc_id < b.doc_id
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.85
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM p
+              UNION
+              SELECT id_b AS a, id_a AS b FROM p
+            ), r(v, l) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM e) t0
+              UNION
+              SELECT e.a, r.l FROM e JOIN r ON r.v = e.b
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(MIN(r.l), d.doc_id) AS BIGINT) AS cluster_id
+            FROM documents d LEFT JOIN r ON r.v = d.doc_id
+            GROUP BY d.doc_id
         """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -225,6 +225,115 @@ def near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> components -> canonical survivors
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph — the step
+    that turns near-duplicate PAIRS into duplicate CLUSTERS (pairs
+    are not transitive: A~B and B~C usually means A,B,C are one
+    cluster even when A~C is below threshold).
+
+    Returns ``(node, component)`` where ``component`` is the minimum
+    node id in the component — a deterministic canonical id.
+
+    Algorithm: iterative min-label propagation with pointer jumping,
+    pure DataFrame ops (no driver-side graph):
+
+    * edge step — every node takes the min label over itself and its
+      neighbors (join edges→labels, groupBy min: one shuffle keyed
+      by node id);
+    * pointer-jumping step — ``label(v) ← label(label(v))`` (one
+      self-join), which collapses label chains geometrically, so
+      convergence is O(log diameter) rounds rather than O(diameter).
+
+    Each round the label DataFrame is ``localCheckpoint``-ed: it
+    truncates the iterative lineage (otherwise the plan doubles per
+    round) and materializes the round's result. On a cluster with a
+    configured checkpoint dir, ``DataFrame.checkpoint`` is the
+    fault-tolerant alternative; executor loss during the loop then
+    re-reads state instead of recomputing the chain.
+
+    Convergence detection is free of an extra join: labels only ever
+    decrease, so the label sum is strictly decreasing until the
+    fixed point (label constant across every edge = component min);
+    the sum is tracked as ``decimal(38,0)`` so 10^12 64-bit ids
+    cannot overflow the accumulator.
+
+    Scale shape: shuffles carry only (node, label) longs — never
+    document bodies; near-dup clusters are shallow (diameter a few
+    hops), so the loop typically terminates in 3-4 rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), F.col("label"))
+        merged = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        ptr = merged.select(
+            F.col("node").alias("__pnode"), F.col("label").alias("__plabel")
+        )
+        jumped = (
+            merged.join(ptr, merged["label"] == ptr["__pnode"], "left")
+            .select(
+                F.col("node"),
+                F.coalesce("__plabel", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = jumped
+        if prev_sum is not None and s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the canonical (min-id)
+    member of its component; rows not in any pair survive untouched.
+    The join carries only (id, component) — the document bodies
+    stream through a single broadcast-or-shuffle hash join."""
+    comp = connected_components(pairs, id_a, id_b)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

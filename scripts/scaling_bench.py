@@ -349,6 +349,9 @@ def main():
         "",
         f"_Total scaling-bench wall time: {wall:.0f}s._",
     ]
+    notes = os.path.join(REPO, "BENCH", "NOTES.md")
+    if os.path.exists(notes):
+        lines += ["", open(notes).read().rstrip()]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

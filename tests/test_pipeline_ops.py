@@ -334,3 +334,73 @@ def test_cosine_pairs_approx_high_threshold(spark):
     got = set(zip(out.id_a, out.id_b))
     assert {(i, i + 40) for i in range(10)} <= got
     assert similarity.plan_bands(0.95, 8, 0.99) <= 12
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random sparse graph: DataFrame min-label propagation must
+    match a reference union-find exactly (component id = min id)."""
+    rng = np.random.default_rng(3)
+    n = 400
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (300, 2))
+             if a != b]
+    pdf = pd.DataFrame({"id_a": [a for a, _ in edges],
+                        "id_b": [b for _, b in edges]})
+    pairs = spark.createDataFrame(pdf)
+    got = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    nodes = {x for e in edges for x in e}
+    want = _uf_components(edges, nodes)
+    # union-find roots are not guaranteed minimal; normalize to min
+    by_root = {}
+    for v, r in want.items():
+        by_root.setdefault(r, []).append(v)
+    want_min = {v: min(vs) for r, vs in by_root.items() for v in vs}
+    assert got == want_min
+
+
+def test_connected_components_long_chain(spark):
+    """A 200-node path graph converges within the default round cap —
+    evidence the pointer-jumping step gives O(log diameter), not
+    O(diameter), rounds."""
+    edges = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [a for a, _ in edges],
+                      "id_b": [b for _, b in edges]})
+    )
+    got = dedup.connected_components(pairs, max_iterations=12).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 201
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": [f"doc {i}" for i in range(8)],
+    }))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"id_a": [0, 1, 5], "id_b": [1, 2, 6]}
+    ))
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_keep_canonical(docs, "doc_id", pairs).collect()
+    )
+    # clusters {0,1,2} -> keep 0; {5,6} -> keep 5; 3,4,7 untouched
+    assert kept == [0, 3, 4, 5, 7]
