@@ -35,7 +35,7 @@ from cuckoo_filter_spark.core.kll import KLLSketch
 from cuckoo_filter_spark.core.tdigest import TDigest
 from cuckoo_filter_spark.hashing import content_key_sql, content_key_expr, keys_to_unsigned
 from cuckoo_filter_spark.operators import (
-    dedup, multimodal, sampling, similarity, text,
+    dedup, frequency, multimodal, sampling, similarity, text,
 )
 from cuckoo_filter_spark.operators.membership import (
     DistributedCuckooFilter, ShardedCuckooFilter,
@@ -395,6 +395,19 @@ def q_kll_events_value(spark, sf_dir):
 def q_dedup_exact(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+def q_token_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (tokens with frequency >= 3.4%) via the
+    2-pass plan: Misra-Gries candidate summary (map-only + tiny
+    fan-in; completeness guaranteed — no phi-heavy token can be
+    missed at capacity >= 1/phi) then exact counts for candidates
+    only behind a broadcast semi-join, so the full token stream is
+    never shuffled. Output equals the naive explode-groupBy-filter
+    plan / the SQL oracle exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = frequency.whitespace_tokens(docs, "text")
+    return frequency.heavy_hitters_exact(toks, "token", threshold=0.034)
 
 
 def q_hash_sample_docs(spark, sf_dir):
@@ -835,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
         "kll_events_value": q_kll_events_value,
         "dedup_exact": q_dedup_exact,
+        "token_heavy_hitters": q_token_heavy_hitters,
         "hash_sample_docs": q_hash_sample_docs,
         "token_budget_mix": q_token_budget_mix,
         "token_quality_stats": q_token_quality_stats,
@@ -953,6 +967,21 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"({q}, TRUE)" for q in _QUANTILES) + ") t(q, rank_ok)",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_heavy_hitters": """
+            WITH c AS (
+              SELECT regexp_replace(trim(text), '\\s+', ' ', 'g') AS coll
+              FROM documents
+            ), tok AS (
+              SELECT unnest(string_split(coll, ' ')) AS token FROM c
+              WHERE length(coll) > 0
+            ), n AS (
+              SELECT count(*) AS total FROM tok WHERE length(token) > 0
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok WHERE length(token) > 0
+            GROUP BY token
+            HAVING count(*) >= 0.034 * (SELECT total FROM n)
+        """,
         "hash_sample_docs": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
