@@ -143,21 +143,29 @@ def stream_sketch_window(
     window_duration: str = "1 minute",
     watermark: str = "10 seconds",
     make_sketch=None,
+    finisher=None,
+    finisher_schema: str | None = None,
 ):
-    """Watermarked per-window sketch rollup — approximate distinct
-    keys per event-time tumbling window, finalized by the watermark
+    """Watermarked per-window sketch rollup — one mergeable sketch
+    per event-time tumbling window, finalized by the watermark
     (the streaming complement of ``grouped_sketch``; state pattern
     cf. the long-lived IPC filter, ``CuckooFilterIPC.cuh:190-199``).
 
-    One mergeable sketch (default HLL p=14, ``core/hll.py``) per
-    window lives in ``applyInPandasWithState`` group state; each
-    micro-batch folds its rows in, and the window emits exactly one
-    final row ``(window_start, window_end, n_rows, distinct_est)``
-    when the event-time watermark passes the window end
-    (EventTimeTimeout). Late rows beyond the watermark are dropped
-    by the engine before reaching state, so state is bounded by the
-    number of open windows — not by key cardinality, which is the
-    point of the sketch at 100 TB/day rates.
+    The sketch and its output columns are pluggable like
+    ``grouped_sketch``'s: the default is an HLL p=14 emitting
+    ``distinct_est``; pass ``make_sketch`` plus a ``finisher``
+    (sketch → {col: value}) and ``finisher_schema`` (DDL string) for
+    any other sketch — e.g. a Misra-Gries summary emitting the
+    window's trending heavy hitters.
+
+    One sketch per window lives in ``applyInPandasWithState`` group
+    state; each micro-batch folds its rows in, and the window emits
+    exactly one final row ``(window_start, window_end, n_rows,
+    <finisher cols>)`` when the event-time watermark passes the
+    window end (EventTimeTimeout). Late rows beyond the watermark
+    are dropped by the engine before reaching state, so state is
+    bounded by the number of open windows — not by key cardinality,
+    which is the point of the sketch at 100 TB/day rates.
     """
     import numpy as np
     import pandas as pd
@@ -170,13 +178,19 @@ def stream_sketch_window(
     from cuckoo_filter_spark.hashing import keys_to_unsigned
 
     factory = make_sketch or (lambda: HyperLogLog(p=14))
+    if finisher is None:
+        finisher = lambda sk: {"distinct_est": int(round(sk.estimate()))}
+        finisher_schema = "distinct_est long"
+    elif finisher_schema is None:
+        raise ValueError("finisher requires finisher_schema")
     proto = factory()
     cls = type(proto)
+    finish_fields = StructType.fromDDL(finisher_schema).fields
     out_schema = StructType([
         StructField("window_start_epoch", LongType()),
         StructField("window_end_epoch", LongType()),
         StructField("n_rows", LongType()),
-        StructField("distinct_est", LongType()),
+        *finish_fields,
     ])
     state_schema = StructType([
         StructField("blob", BinaryType()),
@@ -196,12 +210,13 @@ def stream_sketch_window(
             blob, n_rows = state.get
             sk = cls.from_bytes(bytes(blob))
             state.remove()
-            yield pd.DataFrame({
+            row = {
                 "window_start_epoch": [ws_epoch],
                 "window_end_epoch": [we_epoch],
                 "n_rows": [int(n_rows)],
-                "distinct_est": [int(round(sk.estimate()))],
-            })
+            }
+            row.update({k: [v] for k, v in finisher(sk).items()})
+            yield pd.DataFrame(row)
             return
         if state.exists:
             blob, n_rows = state.get
@@ -241,7 +256,7 @@ def stream_sketch_window(
             ),
             F.timestamp_seconds(F.col("window_end_epoch")).alias("window_end"),
             "n_rows",
-            "distinct_est",
+            *[f.name for f in finish_fields],
         )
     )
 

@@ -495,3 +495,80 @@ def test_stream_sketch_window_restart(spark, tmp_path):
     assert rows[0].n_rows == 400
     exact = 120 + 80  # key ranges are disjoint across the two batches
     assert abs(rows[0].distinct_est - exact) <= max(2, int(0.05 * exact))
+
+
+def test_stream_sketch_window_misra_gries_trending(spark, tmp_path):
+    """Pluggable windowed sketch: a Misra-Gries summary per window
+    emitting the window's top-3 keys — 'trending tokens'. The
+    planted heavy keys must come back exactly, in order, with exact
+    counts (vocab << capacity, so shed = 0 and MG is exact)."""
+    import collections
+
+    from cuckoo_filter_spark.core.misra_gries import MisraGries
+
+    src_dir = str(tmp_path / "mgsrc")
+    base = 1_700_000_040
+    # window W1: key 7 x200, key 11 x90, keys 100..139 x2 noise
+    (
+        spark.range(0, 370)
+        .select(
+            F.when(F.col("id") < 200, 7)
+            .when(F.col("id") < 290, 11)
+            .otherwise(F.col("id") % 40 + 100).alias("key"),
+            F.timestamp_seconds(F.lit(base) + (F.col("id") % 50)).alias("ts"),
+        )
+        .write.parquet(src_dir + "/b1")
+    )
+    # advance the watermark far past W1 so it finalizes
+    (
+        spark.range(0, 10)
+        .select(
+            (F.col("id") + 9000).alias("key"),
+            F.timestamp_seconds(F.lit(base + 400)).alias("ts"),
+        )
+        .write.parquet(src_dir + "/b2")
+    )
+
+    def top3(sk):
+        import numpy as np
+
+        keys, cnts = sk.candidates()
+        order = np.argsort(-cnts, kind="stable")[:3]
+        return {
+            "top_keys": [int(k) for k in keys.view(np.int64)[order]],
+            "top_cnts": [int(c) for c in cnts[order]],
+        }
+
+    stream = (
+        spark.readStream.schema("key long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir + "/*")
+    )
+    out = sm.stream_sketch_window(
+        stream, "ts", "key", window_duration="60 seconds",
+        watermark="5 seconds",
+        make_sketch=lambda: MisraGries(64),
+        finisher=top3,
+        finisher_schema="top_keys array<long>, top_cnts array<long>",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("mg_window_t")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mgckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("mg_window_t").collect()
+    w1 = base // 60 * 60
+    got = {int(r.window_start.timestamp()): r for r in rows}
+    assert w1 in got
+    r = got[w1]
+    # exact truth for W1 from the same files
+    batch = spark.read.parquet(src_dir + "/b1").collect()
+    truth = collections.Counter(
+        x.key for x in batch if int(x.ts.timestamp()) // 60 * 60 == w1
+    )
+    # top-2 are unambiguous; third place is a tie among noise keys
+    assert list(zip(r.top_keys, r.top_cnts))[:2] == truth.most_common(2)
+    assert truth[r.top_keys[2]] == r.top_cnts[2]
+    assert r.n_rows == sum(truth.values())
