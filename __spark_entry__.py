@@ -783,15 +783,17 @@ def q_q1_pricing_summary(spark, sf_dir):
 
 
 def q_top_events_per_user(spark, sf_dir):
-    from pyspark.sql import Window
+    """Top event per user via the skew-safe two-phase top-k
+    (operators/topk.py): per-partition partial prune bounds the
+    Exchange at k rows per (user, input partition); the final window
+    ranks only survivors — no task ever sorts a whole raw group, the
+    failure mode of the textbook row_number window on a hot key."""
+    from cuckoo_filter_spark.operators.topk import top_k_per_group
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id")
-    )
+    return top_k_per_group(
+        ev, "user_id", "value", k=1, tie_cols=["event_id"]
+    ).select("user_id", "event_id")
 
 
 def q_events_json_extract(spark, sf_dir):

@@ -1,0 +1,57 @@
+"""Two-phase top-k per group vs the naive window reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.operators.topk import top_k_per_group
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rng = np.random.default_rng(17)
+    n = 5000
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        # zipf-ish group sizes incl. one hot group
+        "user_id": np.minimum(rng.zipf(1.5, n), 50).astype(np.int64),
+        # duplicate values so tie-breaks matter
+        "value": rng.integers(0, 40, n).astype(np.int64),
+    })
+    return spark.createDataFrame(pdf).repartition(8)
+
+
+def _naive(df, k, descending=True):
+    order = [F.desc("value") if descending else F.asc("value"),
+             F.asc("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@pytest.mark.parametrize("k", [1, 3, 7])
+def test_topk_matches_window(events, k):
+    got = sorted(
+        map(tuple, top_k_per_group(
+            events, "user_id", "value", k, tie_cols=["event_id"]
+        ).collect())
+    )
+    want = sorted(map(tuple, _naive(events, k).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_topk_ascending(events):
+    got = sorted(
+        map(tuple, top_k_per_group(
+            events, "user_id", "value", 2, descending=False,
+            tie_cols=["event_id"],
+        ).collect())
+    )
+    want = sorted(map(tuple, _naive(events, 2, descending=False).collect()))
+    assert got == want
