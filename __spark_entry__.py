@@ -397,6 +397,24 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(docs, "text", "doc_id")
 
 
+def q_exact_price_quantiles(spark, sf_dir):
+    """EXACT distributed quantiles (not sketch estimates): KLL
+    brackets each rank, one candidate pass counts below-bracket and
+    collects the ~2*slack*eps*n in-bracket values, and the true
+    order statistic ceil(q*n)-1 is read off — the same
+    sketch-narrows/exact-verifies shape as token_heavy_hitters.
+    Oracle: DuckDB quantile_disc (bit-identical values, not
+    approximations)."""
+    from cuckoo_filter_spark.operators.quantiles import exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qs = [0.25, 0.5, 0.9]
+    res = exact_quantiles(li, "l_extendedprice", qs, k=2048)
+    return spark.createDataFrame(
+        [(q, float(res[q])) for q in qs], schema="q double, value double"
+    )
+
+
 def q_token_heavy_hitters(spark, sf_dir):
     """Exact heavy hitters (tokens with frequency >= 3.4%) via the
     2-pass plan: Misra-Gries candidate summary (map-only + tiny
@@ -850,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_lineitem_price": q_tdigest_lineitem_price,
         "kll_events_value": q_kll_events_value,
         "dedup_exact": q_dedup_exact,
+        "exact_price_quantiles": q_exact_price_quantiles,
         "token_heavy_hitters": q_token_heavy_hitters,
         "hash_sample_docs": q_hash_sample_docs,
         "token_budget_mix": q_token_budget_mix,
@@ -969,6 +988,17 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"({q}, TRUE)" for q in _QUANTILES) + ") t(q, rank_ok)",
         "dedup_exact":
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "exact_price_quantiles": """
+            SELECT CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(l_extendedprice, 0.25) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT CAST(0.5 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.5) FROM lineitem
+            UNION ALL
+            SELECT CAST(0.9 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        """,
         "token_heavy_hitters": """
             WITH c AS (
               SELECT regexp_replace(trim(text), '\\s+', ' ', 'g') AS coll
