@@ -10,9 +10,15 @@ reference GPU cuckoo-filter library (tiltedtoast/cuckoo-filter):
   ``include/CuckooFilter.cuh`` (insertMany/containsMany/deleteMany)
   and ``include/CuckooFilterMultiGPU.cuh`` (sharded scale-out);
 * companion mergeable sketches built from scratch: HyperLogLog,
-  Bloom, Count-Min (plus Spark built-ins for cross-checks);
+  Bloom, Count-Min, t-digest, KLL, two-choice filter, Misra-Gries
+  (plus Spark built-ins for cross-checks);
 * training-data pipeline operators: exact/MinHash-LSH/SimHash
-  dedup, ANN similarity search, text analysis, multimodal plumbing.
+  dedup with connected-components clustering, ANN similarity
+  search, deterministic sampling and token-budget mixing, exact
+  heavy hitters and exact quantiles (sketch-narrowed two-pass
+  plans), skew-safe top-k per group, text analysis, multimodal
+  plumbing, and streaming variants (stateful builds, windowed
+  sketch rollups).
 
 Everything is DataFrame-first: shuffles are expressed as
 ``repartition``/``groupBy`` so Catalyst/AQE plan them; Python only
