@@ -415,6 +415,23 @@ def q_exact_price_quantiles(spark, sf_dir):
     )
 
 
+def q_price_quantiles_by_flag(spark, sf_dir):
+    """Per-group EXACT quantiles (grouped generalization of
+    exact_price_quantiles): one KLL per l_returnflag built
+    skew-safely (per-partition partials, blob-only shuffle), then a
+    single bracket pass whose Exchange carries only in-bracket
+    values — exact quantile_disc answers per group, no per-group
+    sort of raw data."""
+    from cuckoo_filter_spark.operators.quantiles import (
+        exact_quantiles_grouped,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return exact_quantiles_grouped(
+        li, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.9], k=1024
+    )
+
+
 def q_token_heavy_hitters(spark, sf_dir):
     """Exact heavy hitters (tokens with frequency >= 3.4%) via the
     2-pass plan: Misra-Gries candidate summary (map-only + tiny
@@ -869,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_events_value": q_kll_events_value,
         "dedup_exact": q_dedup_exact,
         "exact_price_quantiles": q_exact_price_quantiles,
+        "price_quantiles_by_flag": q_price_quantiles_by_flag,
         "token_heavy_hitters": q_token_heavy_hitters,
         "hash_sample_docs": q_hash_sample_docs,
         "token_budget_mix": q_token_budget_mix,
@@ -998,6 +1016,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(0.9 AS DOUBLE),
                    quantile_disc(l_extendedprice, 0.9) FROM lineitem
+        """,
+        "price_quantiles_by_flag": """
+            SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+                   quantile_disc(l_extendedprice, 0.25) AS value
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, CAST(0.5 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.5)
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, CAST(0.9 AS DOUBLE),
+                   quantile_disc(l_extendedprice, 0.9)
+            FROM lineitem GROUP BY l_returnflag
         """,
         "token_heavy_hitters": """
             WITH c AS (

@@ -98,3 +98,110 @@ def exact_quantiles(
             f"quantile bracket failed for {sorted(pending)} after widening"
         )
     return out
+
+
+def exact_quantiles_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: Sequence[float],
+    k: int = 2048,
+    slack: float = 4.0,
+    max_retries: int = 3,
+) -> DataFrame:
+    """Per-group exact ``quantile_disc`` quantiles — the grouped
+    generalization of :func:`exact_quantiles`.
+
+    Stage 1 builds one KLL per group skew-safely (per-partition
+    partials, blob-only shuffle — ``grouped_sketch_partial``'s
+    shape) and merges them driver-side (groups × tiny blobs).
+    Stage 2 broadcast-joins a (group, q, lo, hi) bracket table and
+    aggregates per (group, q): the below-bracket COUNT partial-aggs
+    map-side and the candidate ``collect_list`` drops out-of-bracket
+    values map-side, so the Exchange carries only in-bracket values
+    plus counters — never the raw column. Misses (sketch error past
+    the slack) widen their bracket and retry. Returns a DataFrame
+    ``(group, q, value)`` built from the driver-side finish (the
+    result set is groups × quantiles rows — a decision-table-sized
+    output, like ``token_budget_sample``'s planner)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    gtype = df.schema[group_col].dataType.simpleString()
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(col).cast("double").alias("v")
+    ).dropna()
+
+    def partial(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        sks: dict = {}
+        for pdf in it:
+            for key, grp in pdf.groupby("g", sort=False):
+                sk = sks.get(key)
+                if sk is None:
+                    sk = sks[key] = KLLSketch(k)
+                sk.add_many(grp["v"].to_numpy(np.float64, copy=False))
+        for key, sk in sks.items():
+            yield pd.DataFrame({"g": [key], "blob": [sk.to_bytes()]})
+
+    sketches: dict = {}
+    for r in vals.mapInPandas(partial, f"g {gtype}, blob binary").collect():
+        sk = KLLSketch.from_bytes(bytes(r.blob))
+        if r.g in sketches:
+            sketches[r.g].merge_in_place(sk)
+        else:
+            sketches[r.g] = sk
+    eps = _EPS_C / k
+    pending = {(g, q): slack for g in sketches for q in qs}
+    out_rows: list = []
+    for _ in range(max_retries + 1):
+        if not pending:
+            break
+        bracket_rows = []
+        for (g, q), s in pending.items():
+            sk = sketches[g]
+            ql, qh = q - s * eps, q + s * eps
+            lo = float("-inf") if ql <= 0.0 else sk.quantile(ql)
+            hi = float("inf") if qh >= 1.0 else sk.quantile(qh)
+            bracket_rows.append((g, float(q), lo, hi))
+        br = F.broadcast(
+            spark.createDataFrame(
+                bracket_rows,
+                schema=f"g {gtype}, q double, lo double, hi double",
+            )
+        )
+        agg = (
+            vals.join(br, "g")
+            .groupBy("g", "q")
+            .agg(
+                F.sum((F.col("v") < F.col("lo")).cast("long")).alias("below"),
+                F.collect_list(
+                    F.when(
+                        (F.col("v") >= F.col("lo"))
+                        & (F.col("v") <= F.col("hi")),
+                        F.col("v"),
+                    )
+                ).alias("cand"),
+            )
+            .collect()
+        )
+        got = {(r.g, r.q): r for r in agg}
+        still = {}
+        for (g, q), s in pending.items():
+            r = got[(g, q)]
+            n_g = sketches[g].n
+            idx = max(0, int(np.ceil(q * n_g)) - 1)
+            below, cand = int(r.below or 0), sorted(r.cand)
+            if below <= idx < below + len(cand):
+                out_rows.append((g, q, cand[idx - below]))
+            else:
+                still[(g, q)] = s * 2.0
+        pending = still
+    if pending:
+        raise RuntimeError(
+            f"grouped quantile bracket failed for {sorted(pending)}"
+        )
+    return spark.createDataFrame(
+        out_rows, schema=f"{group_col} {gtype}, q double, value double"
+    )
