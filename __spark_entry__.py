@@ -433,7 +433,7 @@ def q_price_quantiles_by_flag(spark, sf_dir):
 
 
 def q_token_heavy_hitters(spark, sf_dir):
-    """Exact heavy hitters (tokens with frequency >= 3.4%) via the
+    """Exact heavy hitters (tokens with frequency >= 3.3%) via the
     2-pass plan: Misra-Gries candidate summary (map-only + tiny
     fan-in; completeness guaranteed — no phi-heavy token can be
     missed at capacity >= 1/phi) then exact counts for candidates
@@ -442,7 +442,7 @@ def q_token_heavy_hitters(spark, sf_dir):
     plan / the SQL oracle exactly."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = frequency.whitespace_tokens(docs, "text")
-    return frequency.heavy_hitters_exact(toks, "token", threshold=0.034)
+    return frequency.heavy_hitters_exact(toks, "token", threshold=0.033)
 
 
 def q_hash_sample_docs(spark, sf_dir):
@@ -1043,7 +1043,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS cnt
             FROM tok WHERE length(token) > 0
             GROUP BY token
-            HAVING count(*) >= 0.034 * (SELECT total FROM n)
+            HAVING count(*) >= 0.033 * (SELECT total FROM n)
         """,
         "hash_sample_docs": """
             SELECT doc_id, lang FROM documents
