@@ -54,6 +54,8 @@ class MisraGries:
     def _combine(self, keys: np.ndarray, counts: np.ndarray) -> None:
         allk = np.concatenate([self.keys, keys])
         allc = np.concatenate([self.counts, counts])
+        if len(allk) == 0:  # merging empty summaries (empty partition)
+            return
         order = np.argsort(allk, kind="stable")
         sk, sc = allk[order], allc[order]
         bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])

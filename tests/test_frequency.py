@@ -96,3 +96,49 @@ def test_heavy_hitters_exact_matches_naive(spark):
         .filter(F.col("cnt") >= thr * total).collect()
     }
     assert got == want and len(want) >= 5
+
+
+def test_mg_property_random_chunking_and_merge_trees():
+    """Property test: for random streams, random chunkings, and
+    random merge trees, the Misra-Gries invariants hold — never
+    overcounts, undercount ≤ shed ≤ n/(k+1), candidates complete
+    above shed, total conserved."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(0, 300), min_size=1, max_size=3000),
+        st.integers(2, 6),     # number of partitions
+        st.integers(4, 64),    # capacity
+        st.randoms(),
+    )
+    def check(items, nparts, cap, rnd):
+        stream = np.array(items, dtype=np.uint64)
+        cuts = sorted(rnd.sample(range(len(stream) + 1), k=min(nparts - 1, len(stream))))
+        parts = np.split(stream, cuts)
+        sks = []
+        for p in parts:
+            sk = MisraGries(cap)
+            # feed each partition in random sub-chunks
+            if len(p) > 1:
+                sub = sorted(rnd.sample(range(1, len(p)), k=min(2, len(p) - 1)))
+                for chunk in np.split(p, sub):
+                    sk.add_many(chunk)
+            else:
+                sk.add_many(p)
+            sks.append(sk)
+        rnd.shuffle(sks)           # random merge order
+        acc = sks[0]
+        for sk in sks[1:]:
+            acc.merge_in_place(sk)
+        true = dict(zip(*np.unique(stream, return_counts=True)))
+        assert acc.total == len(stream)
+        assert acc.shed <= acc.total // (cap + 1)
+        est = acc.estimate_many(np.array(list(true), dtype=np.uint64))
+        cand = set(int(x) for x in acc.candidates()[0])
+        for (v, t), e in zip(true.items(), est):
+            assert e <= t and t - e <= acc.shed
+            if t > acc.shed:
+                assert int(v) in cand
+
+    check()
