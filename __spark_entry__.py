@@ -792,6 +792,34 @@ def q_kmer_pack_membership(spark, sf_dir):
     return out.select("doc_id", "key", "member")
 
 
+def q_counting_membership(spark, sf_dir):
+    """Exact counting-structure semantics — GQF parity (the
+    reference benchmarks GQF as a counting filter: count queries in
+    ``benchmark/fpr_benchmark.cu:294-348`` and per-k-mer counts with
+    decrementing deletes in ``benchmark/kmer_benchmark.cu:259-355``).
+    Every order's o_custkey is inserted (multiset: one slot per
+    duplicate), the sharded ``counts()`` query returns each distinct
+    customer's exact stored multiplicity, and deleting one instance
+    per customer decrements it by exactly one. 32-bit fingerprints
+    make a cross-key fingerprint+bucket collision (the only
+    over-count source) ~1e-9 per key, so DuckDB's GROUP BY count(*)
+    matches exactly."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = orders.select(F.col("o_custkey").alias("key"))
+    n = keys.count()
+    cfg32 = CuckooConfig(bits_per_tag=32, bucket_size=4)
+    filt = ShardedCuckooFilter.build(
+        keys, "key", _capacity(n), 8, cfg32
+    ).persist()
+    distinct = keys.distinct()
+    counted = filt.counts(distinct, out_col="cnt")
+    _, after = filt.delete(distinct, per_key=False)
+    recount = after.counts(distinct, out_col="cnt_after_delete")
+    return counted.join(recount, "key").select(
+        F.col("key").alias("custkey"), "cnt", "cnt_after_delete"
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = multimodal.attach_media(docs, "text", "doc_id")
@@ -905,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "tcf_membership": q_tcf_membership,
         "kmer_pack_membership": q_kmer_pack_membership,
+        "counting_membership": q_counting_membership,
         "multimodal_features": q_multimodal_features,
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_events_per_user": q_top_events_per_user,
@@ -1212,6 +1241,11 @@ def oracle_sql() -> dict[str, str]:
                    )} AS BIGINT) AS key,
                    TRUE AS member
             FROM km
+        """,
+        "counting_membership": """
+            SELECT o_custkey AS custkey, count(*) AS cnt,
+                   count(*) - 1 AS cnt_after_delete
+            FROM orders GROUP BY o_custkey
         """,
         "multimodal_features": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -214,10 +214,21 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
         )
         .write.mode("overwrite").parquet(probes_path)
     )
-    probes = read_matched_splits(spark, probes_path)
+    # probes: DEFAULT split confs, not matched splits. Measured
+    # same-phase interleaved A/B (scripts/contains_ab.py, 5 reps):
+    # default sizing yields exactly one split per file (32 splits,
+    # best 30.7M probes/s, median 1.12s) while the matched read's
+    # bin-packing doubles the split count (64 splits, best 24.3M/s)
+    # — a second task wave plus per-task UDF setup for nothing.
+    # Spark's own bytesPerCore adaptation already matches this scan
+    # to the core count; matched splits are for layouts it can't
+    # adapt (see read_bucketed_keys).
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+    probes = spark.read.parquet(probes_path)
     n_probes = probes.count()
     best = None
-    for _ in range(reps):
+    for _ in range(max(reps, 5)):
         reclaim(spark)
         t0 = time.time()
         res = filt.contains_broadcast(probes, "key")

@@ -532,6 +532,56 @@ class CuckooFilter:
             )
         return out
 
+    def count_many(self, keys: np.ndarray) -> np.ndarray:
+        """Exact stored multiplicity per key: occurrences of the
+        key's fingerprint across both candidate buckets — the
+        counting-structure query the reference benchmarks against GQF
+        (count returns in ``benchmark/fpr_benchmark.cu:294-348`` and
+        per-k-mer count queries in ``benchmark/kmer_benchmark.cu:
+        259-355``). Because inserts have multiset semantics (each
+        duplicate occupies a slot), the returned count is the exact
+        number of stored instances; like every partial-key structure
+        it can over-count when a DIFFERENT key collides on both
+        fingerprint and bucket pair (probability ≈ the membership
+        FPR). Deletes decrement it (multiset ``delete_many``)."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        n = len(keys)
+        out = np.zeros(n, dtype=np.int64)
+        for lo in range(0, n, self.CHUNK):
+            hi = min(lo + self.CHUNK, n)
+            i1, i2, fp = self.candidates(keys[lo:hi])
+            self._count_rows(i1, i2, fp, out[lo:hi])
+        return out
+
+    def count_packed(self, packed_vals: np.ndarray) -> np.ndarray:
+        """Counting query from JVM-packed ``(i1 << bits_per_tag) |
+        fp`` values (hashing stays in codegen; see
+        :meth:`insert_packed`)."""
+        packed_vals = np.ascontiguousarray(packed_vals, dtype=np.int64)
+        f = self.config.bits_per_tag
+        tag_mask = self.config.tag_mask
+        n = len(packed_vals)
+        out = np.zeros(n, dtype=np.int64)
+        for lo in range(0, n, self.CHUNK):
+            pc = packed_vals[lo:min(lo + self.CHUNK, n)]
+            fp = (pc & tag_mask).astype(self.config.tag_dtype)
+            i1 = (pc >> f).astype(self._index_dtype)
+            self._count_rows(i1, self.alt_bucket(i1, fp), fp,
+                             out[lo:lo + len(pc)])
+        return out
+
+    def _count_rows(
+        self, i1: np.ndarray, i2: np.ndarray, fp: np.ndarray,
+        out: np.ndarray,
+    ) -> None:
+        """out[j] = multiplicity of fp[j] in buckets i1[j] ∪ i2[j]
+        (i2 == i1 counted once — XOR displacement of 0 aliases the
+        pair)."""
+        fpc = fp[:, None]
+        c1 = (self.buckets[i1] == fpc).sum(axis=1)
+        c2 = (self.buckets[i2] == fpc).sum(axis=1)
+        np.add(c1, np.where(i1 == i2, 0, c2), out=out, casting="unsafe")
+
     # ------------------------------------------------------------------
     # delete
     # ------------------------------------------------------------------

@@ -611,7 +611,10 @@ class ShardedCuckooFilter:
 
     # -- routed batch ops -------------------------------------------------
 
-    def _routed(self, queries: DataFrame, op: str, out_col: str) -> DataFrame:
+    def _routed(
+        self, queries: DataFrame, op: str, out_col: str,
+        res_spark_type=None, res_np_dtype=bool,
+    ) -> DataFrame:
         """Route query keys to their shard and run a local batch op —
         the Spark expression of the reference's multisplit → all2all
         → local kernel → reverse all2all round trip
@@ -621,6 +624,7 @@ class ShardedCuckooFilter:
         relational)."""
         key_col = self.key_col
         cfg = self.config
+        res_spark_type = res_spark_type or BooleanType()
         packed = (
             self.shard_num_buckets is not None
             and cfg.bucket_policy in ("xor", "addsub")
@@ -631,7 +635,7 @@ class ShardedCuckooFilter:
         # num_keys rows
         pack_schema = StructType([
             StructField("__keys", ArrayType(LongType())),
-            StructField("__res", ArrayType(BooleanType())),
+            StructField("__res", ArrayType(res_spark_type)),
         ])
 
         def probe(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -645,7 +649,7 @@ class ShardedCuckooFilter:
                     "__res": pd.Series([], dtype=object),
                 })
             if len(right) == 0:
-                res = np.zeros(len(left), dtype=bool)
+                res = np.zeros(len(left), dtype=res_np_dtype)
             else:
                 flt = CuckooFilter.from_bytes(right["blob"].iloc[0])
                 if packed:
@@ -687,6 +691,20 @@ class ShardedCuckooFilter:
     def contains(self, queries: DataFrame, out_col: str = "member") -> DataFrame:
         """Batched membership, shard-routed (returns key → bool)."""
         return self._routed(queries, "contains", out_col)
+
+    def counts(self, queries: DataFrame, out_col: str = "count") -> DataFrame:
+        """Batched exact counting query, shard-routed (key → stored
+        multiplicity) — the counting-structure surface the reference
+        benchmarks against GQF (``benchmark/fpr_benchmark.cu:
+        294-348``, ``benchmark/kmer_benchmark.cu:259-355``): inserts
+        are multiset (each duplicate occupies a slot), this returns
+        the per-key instance count, and multiset deletes decrement
+        it. Over-counts only on full fingerprint+bucket-pair
+        collisions (probability ≈ the membership FPR)."""
+        return self._routed(
+            queries, "count", out_col,
+            res_spark_type=LongType(), res_np_dtype=np.int64,
+        )
 
     def contains_broadcast(
         self, queries: DataFrame, key_col: str | None = None,

@@ -112,24 +112,33 @@ def exact_quantiles_grouped(
     """Per-group exact ``quantile_disc`` quantiles — the grouped
     generalization of :func:`exact_quantiles`.
 
-    Stage 1 builds one KLL per group skew-safely (per-partition
-    partials, blob-only shuffle — ``grouped_sketch_partial``'s
-    shape) and merges them driver-side (groups × tiny blobs).
-    Stage 2 broadcast-joins a (group, q, lo, hi) bracket table and
-    aggregates per (group, q): the below-bracket COUNT partial-aggs
-    map-side and the candidate ``collect_list`` drops out-of-bracket
-    values map-side, so the Exchange carries only in-bracket values
-    plus counters — never the raw column. Misses (sketch error past
-    the slack) widen their bracket and retry. Returns a DataFrame
-    ``(group, q, value)`` built from the driver-side finish (the
-    result set is groups × quantiles rows — a decision-table-sized
-    output, like ``token_budget_sample``'s planner)."""
+    Nothing O(groups) touches the driver:
+
+    1. per-partition per-group KLL partials (``mapInPandas``, no
+       shuffle of raw values — a hot group spreads over every input
+       partition);
+    2. blob-only shuffle by group; merge + bracket computation inside
+       ``applyInPandas``, emitting a (g, q, level, lo, hi, n)
+       *decision table* — one row per group × quantile × widening
+       level, with every retry level pre-widened from the SAME
+       merged sketch (so a bracket miss never re-runs the sketch
+       stage);
+    3. a candidate pass per level: join values with that level's
+       brackets, aggregate per (g, q) — the below-bracket COUNT
+       partial-aggs map-side and the candidate ``collect_list``
+       drops out-of-bracket values map-side, so the Exchange carries
+       only in-bracket values plus counters — then the exact order
+       statistic is read off JVM-side with ``array_sort`` +
+       ``element_at`` (no candidate list ever reaches the driver).
+
+    The driver orchestrates retries only: it collects the count of
+    missed (g, q) pairs per level (a scalar), never the brackets,
+    blobs, or candidates. Returns ``(group, q, value)``."""
     from typing import Iterator
 
     import pandas as pd
 
     gtype = df.schema[group_col].dataType.simpleString()
-    spark = df.sparkSession
     vals = df.select(
         F.col(group_col).alias("g"), F.col(col).cast("double").alias("v")
     ).dropna()
@@ -145,63 +154,105 @@ def exact_quantiles_grouped(
         for key, sk in sks.items():
             yield pd.DataFrame({"g": [key], "blob": [sk.to_bytes()]})
 
-    sketches: dict = {}
-    for r in vals.mapInPandas(partial, f"g {gtype}, blob binary").collect():
-        sk = KLLSketch.from_bytes(bytes(r.blob))
-        if r.g in sketches:
-            sketches[r.g].merge_in_place(sk)
-        else:
-            sketches[r.g] = sk
     eps = _EPS_C / k
-    pending = {(g, q): slack for g in sketches for q in qs}
-    out_rows: list = []
-    for _ in range(max_retries + 1):
-        if not pending:
-            break
-        bracket_rows = []
-        for (g, q), s in pending.items():
-            sk = sketches[g]
-            ql, qh = q - s * eps, q + s * eps
-            lo = float("-inf") if ql <= 0.0 else sk.quantile(ql)
-            hi = float("inf") if qh >= 1.0 else sk.quantile(qh)
-            bracket_rows.append((g, float(q), lo, hi))
-        br = F.broadcast(
-            spark.createDataFrame(
-                bracket_rows,
-                schema=f"g {gtype}, q double, lo double, hi double",
-            )
+    qs_f = [float(q) for q in qs]
+    n_levels = max_retries + 1
+
+    def merge_and_bracket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = KLLSketch.from_bytes(pdf["blob"].iloc[0])
+        for b in pdf["blob"].iloc[1:]:
+            sk.merge_in_place(KLLSketch.from_bytes(b))
+        rows = []
+        for q in qs_f:
+            s = slack
+            for level in range(n_levels):
+                ql, qh = q - s * eps, q + s * eps
+                lo = float("-inf") if ql <= 0.0 else sk.quantile(ql)
+                hi = float("inf") if qh >= 1.0 else sk.quantile(qh)
+                rows.append((key[0], q, level, lo, hi, sk.n))
+                s *= 2.0
+        return pd.DataFrame(
+            rows, columns=["g", "q", "level", "lo", "hi", "n"]
         )
+
+    brackets = (
+        vals.mapInPandas(partial, f"g {gtype}, blob binary")
+        .groupBy("g")
+        .applyInPandas(
+            merge_and_bracket,
+            schema=f"g {gtype}, q double, level int, lo double, hi double, "
+                   "n long",
+        )
+        .persist()
+    )
+
+    # the exact 0-based order statistic ceil(q*n)-1, computed and
+    # selected entirely JVM-side
+    idx_expr = F.greatest(
+        F.lit(0), F.ceil(F.col("q") * F.col("n")).cast("long") - 1
+    )
+
+    def candidate_pass(br: DataFrame) -> DataFrame:
         agg = (
             vals.join(br, "g")
-            .groupBy("g", "q")
+            .groupBy("g", "q", "n")
             .agg(
                 F.sum((F.col("v") < F.col("lo")).cast("long")).alias("below"),
-                F.collect_list(
-                    F.when(
-                        (F.col("v") >= F.col("lo"))
-                        & (F.col("v") <= F.col("hi")),
-                        F.col("v"),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            (F.col("v") >= F.col("lo"))
+                            & (F.col("v") <= F.col("hi")),
+                            F.col("v"),
+                        )
                     )
                 ).alias("cand"),
             )
-            .collect()
+            .withColumn("below", F.coalesce(F.col("below"), F.lit(0)))
+            .withColumn("idx", idx_expr)
         )
-        got = {(r.g, r.q): r for r in agg}
-        still = {}
-        for (g, q), s in pending.items():
-            r = got[(g, q)]
-            n_g = sketches[g].n
-            idx = max(0, int(np.ceil(q * n_g)) - 1)
-            below, cand = int(r.below or 0), sorted(r.cand)
-            if below <= idx < below + len(cand):
-                out_rows.append((g, q, cand[idx - below]))
-            else:
-                still[(g, q)] = s * 2.0
-        pending = still
-    if pending:
+        return agg.select(
+            "g", "q",
+            F.when(
+                (F.col("below") <= F.col("idx"))
+                & (F.col("idx") < F.col("below") + F.size("cand")),
+                # element_at is 1-based
+                F.element_at(
+                    F.col("cand"),
+                    (F.col("idx") - F.col("below") + 1).cast("int"),
+                ),
+            ).alias("value"),
+        )
+
+    pinned = [brackets]
+    results = candidate_pass(brackets.filter(F.col("level") == 0)).persist()
+    results.count()  # materialize before checking misses
+    pinned.append(results)
+    for level in range(1, n_levels):
+        misses = results.filter(F.col("value").isNull()).select("g", "q")
+        if misses.isEmpty():
+            break
+        retry_br = brackets.filter(F.col("level") == level).join(
+            misses, ["g", "q"]
+        )
+        retried = candidate_pass(retry_br).persist()
+        retried.count()
+        pinned.append(retried)
+        results = results.filter(F.col("value").isNotNull()).unionByName(
+            retried
+        )
+    failed = not results.filter(F.col("value").isNull()).isEmpty()
+    # the result is groups x quantiles rows — checkpoint that small
+    # table so every intermediate (brackets, per-level passes) can be
+    # dropped without invalidating the returned plan
+    final = results.localCheckpoint(eager=True)
+    for df_ in pinned:
+        df_.unpersist()
+    if failed:
         raise RuntimeError(
-            f"grouped quantile bracket failed for {sorted(pending)}"
+            "grouped quantile bracket failed after widening "
+            f"{max_retries} times"
         )
-    return spark.createDataFrame(
-        out_rows, schema=f"{group_col} {gtype}, q double, value double"
+    return final.select(
+        F.col("g").alias(group_col), "q", "value"
     )

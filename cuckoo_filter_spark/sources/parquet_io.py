@@ -27,21 +27,23 @@ def read_matched_splits(
 
     The two confs are session-level (Spark has no per-relation split
     size) and are captured when the scan plans its partitions, so
-    they are set *before* the reader is returned and left in place —
-    repeated scans of same-sized tables keep the layout; a later
-    read of a much larger table re-sizes them upward. Splits never
-    go below 1 MB: below parquet row-group granularity extra splits
-    are empty tasks.
+    they are set *before* the reader is returned. Both confs are
+    ALWAYS set — the computed split is clamped into [1 MB, 128 MB],
+    so a read of a large table after a small one restores the
+    default-sized splits rather than inheriting a stale tiny split
+    (which would shatter the big scan into thousands of tasks).
+    Splits never go below 1 MB: below parquet row-group granularity
+    extra splits are empty tasks.
     """
     target = target_splits or spark.sparkContext.defaultParallelism
     jvm = spark.sparkContext._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     total = fs.getContentSummary(jpath).getLength()
-    split = max(1 << 20, int(total / max(target, 1)))
-    if split < 128 * (1 << 20):
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
-        spark.conf.set(
-            "spark.sql.files.openCostInBytes", str(min(split // 4, 1 << 20))
-        )
+    split = min(
+        128 << 20, max(1 << 20, int(total / max(target, 1)))
+    )
+    open_cost = (4 << 20) if split >= (128 << 20) else min(split // 4, 1 << 20)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
     return spark.read.parquet(path)

@@ -344,3 +344,52 @@ def test_blob_sparse_roundtrip_and_size():
     )
     assert merged.contains_many(keys).all()
     assert merged.contains_many(more).all()
+
+
+def test_count_many_multiset(config):
+    # GQF-parity counting queries (fpr_benchmark.cu:294-348): count
+    # equals stored multiplicity; deletes decrement it
+    flt = CuckooFilter(4096, config)
+    keys = rand_keys(300, seed=7)
+    reps = np.concatenate([keys, keys[:120], keys[:40]])
+    flt.insert_many(reps)
+    c = flt.count_many(keys)
+    expect = np.ones(300, dtype=np.int64)
+    expect[:120] += 1
+    expect[:40] += 1
+    # exact unless a fingerprint+bucket-pair collision occurs between
+    # distinct test keys; counts never under-report
+    assert (c >= expect).all()
+    assert (c == expect).mean() > 0.99
+    absent = rand_keys(200, lo=2**40, hi=2**41, seed=9)
+    assert flt.count_many(absent).sum() <= 2  # ~FPR-level noise only
+    flt.delete_many(keys[:40])
+    c2 = flt.count_many(keys[:40])
+    assert (c2 >= expect[:40] - 1).all()
+    assert (c2 <= c[:40] - 1 + 0).all() or (c2 == c[:40] - 1).all()
+
+
+def test_count_packed_matches_count_many():
+    cfg = CuckooConfig(16, 4)
+    flt = CuckooFilter(8192, cfg)
+    keys = rand_keys(2000, seed=11)
+    flt.insert_many(np.concatenate([keys, keys[::3]]))
+    i1, _, fp = flt.candidates(keys)
+    packed = (
+        (i1.astype(np.int64) << cfg.bits_per_tag) | fp.astype(np.int64)
+    )
+    assert (flt.count_packed(packed) == flt.count_many(keys)).all()
+
+
+def test_count_aliased_pair_not_doubled():
+    # keys whose XOR displacement is 0 have i1 == i2; the pair must
+    # be counted once
+    cfg = CuckooConfig(16, 4)
+    flt = CuckooFilter(1024, cfg)
+    keys = rand_keys(5000, seed=13)
+    i1, i2, fp = flt.candidates(keys)
+    aliased = keys[i1 == i2]
+    if len(aliased):
+        k = aliased[:1]
+        flt.insert_many(k)
+        assert flt.count_many(k)[0] == 1
