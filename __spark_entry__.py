@@ -792,22 +792,88 @@ def q_kmer_pack_membership(spark, sf_dir):
     return out.select("doc_id", "key", "member")
 
 
+def q_stream_vs_batch_build(spark, sf_dir):
+    """Streaming build == batch build, as a contract query (VERDICT
+    r3 task 5). Phase 1 streams every document key through
+    ``stream_build_sharded`` (file source, several micro-batches;
+    state = per-shard cuckoo blobs in ``applyInPandasWithState``).
+    Phase 2 appends the same keys as new files and RESUMES the query
+    from its checkpoint — the long-lived filter state answers them,
+    and a seen key emits ``fresh=False``, i.e. membership. The batch
+    build probes the same keys. Both lanes must answer True for
+    every inserted key (zero false negatives — deterministic), so
+    the oracle is exact."""
+    import tempfile
+
+    from cuckoo_filter_spark.streaming.membership import (
+        stream_build_sharded,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keys = docs.select("doc_id", "key").persist()
+    n = keys.count()
+    base = tempfile.mkdtemp(prefix="stream_vs_batch_")
+    src, ckpt, out_dir = f"{base}/src", f"{base}/ckpt", f"{base}/out"
+    keys.select("key").repartition(4).write.parquet(f"{src}/corpus")
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema("key long")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{src}/*")
+        )
+        out = stream_build_sharded(stream, "key", _capacity(n), 8, CFG)
+        # file sink: the only kind that resumes from a checkpoint
+        q = (
+            out.writeStream.format("parquet").option("path", out_dir)
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_pass()  # phase 1: insert the corpus
+    keys.select("key").repartition(2).write.parquet(f"{src}/probes")
+    run_pass()  # phase 2: resume from checkpoint; re-sent keys probe
+    # a key is a member iff ANY sighting gated as already-seen —
+    # phase 2 re-sends every corpus key, and the long-lived state
+    # answers fresh=False (zero false negatives), deterministically
+    probed = (
+        spark.read.parquet(out_dir)
+        .groupBy("key")
+        .agg(F.max(~F.col("fresh")).alias("stream_member"))
+    )
+    bfilt = ShardedCuckooFilter.build(
+        keys, "key", _capacity(n), 8, CFG
+    )
+    batch = bfilt.contains(keys.select("key").distinct()).withColumnRenamed(
+        "member", "batch_member"
+    )
+    return (
+        keys.join(probed, "key").join(batch, "key")
+        .select("doc_id", "stream_member", "batch_member")
+    )
+
+
 def q_counting_membership(spark, sf_dir):
     """Exact counting-structure semantics — GQF parity (the
     reference benchmarks GQF as a counting filter: count queries in
     ``benchmark/fpr_benchmark.cu:294-348`` and per-k-mer counts with
     decrementing deletes in ``benchmark/kmer_benchmark.cu:259-355``).
-    Every order's o_custkey is inserted (multiset: one slot per
+    Every lineitem's l_orderkey is inserted (multiset: one slot per
     duplicate), the sharded ``counts()`` query returns each distinct
-    customer's exact stored multiplicity, and deleting one instance
-    per customer decrements it by exactly one. 32-bit fingerprints
-    make a cross-key fingerprint+bucket collision (the only
-    over-count source) ~1e-9 per key, so DuckDB's GROUP BY count(*)
-    matches exactly."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    keys = orders.select(F.col("o_custkey").alias("key"))
+    order's exact stored multiplicity (lines per order), and deleting
+    one instance per order decrements it by exactly one. Geometry: a
+    key's copies can only ever occupy its two candidate buckets, so
+    stored multiplicity is capped at 2*bucket_size — bucket_size=16
+    (cap 32) comfortably holds the corpus max of 17 lines/order;
+    32-bit fingerprints make a cross-key fingerprint+bucket collision
+    (the only over-count source) ~1e-9 per key, so DuckDB's GROUP BY
+    count(*) matches exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = li.select(F.col("l_orderkey").alias("key"))
     n = keys.count()
-    cfg32 = CuckooConfig(bits_per_tag=32, bucket_size=4)
+    cfg32 = CuckooConfig(bits_per_tag=32, bucket_size=16)
     filt = ShardedCuckooFilter.build(
         keys, "key", _capacity(n), 8, cfg32
     ).persist()
@@ -816,7 +882,7 @@ def q_counting_membership(spark, sf_dir):
     _, after = filt.delete(distinct, per_key=False)
     recount = after.counts(distinct, out_col="cnt_after_delete")
     return counted.join(recount, "key").select(
-        F.col("key").alias("custkey"), "cnt", "cnt_after_delete"
+        F.col("key").alias("orderkey"), "cnt", "cnt_after_delete"
     )
 
 
@@ -826,6 +892,37 @@ def q_multimodal_features(spark, sf_dir):
     feats = multimodal.extract_features(media, "doc_id")
     return feats.select(
         "doc_id", "n_bytes", F.size("features").alias("feat_dim")
+    )
+
+
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL media decode (VERDICT r3 task 7): deterministic BMP/WAV
+    fixtures are generated per document (real on-disk layouts —
+    BITMAPINFOHEADER + bottom-up padded rows, RIFF chunk lists) and
+    decoded with the pure-numpy codecs. The solid-color/square-wave
+    construction makes the decoded statistics closed-form, so DuckDB
+    recomputes them exactly: BMP mean-red == (id*7)%256 and width ==
+    16; WAV peak == (id%100)*10+100 and zero-crossings == 255.
+    Byte-exact round-trips on random images/waves (incl. row-padding
+    widths) are asserted in tests/test_multimodal.py."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.synthesize_media(docs, "doc_id")
+    feats = multimodal.extract_features(media, "doc_id")
+    j = feats.join(
+        media.select("doc_id", F.col("media_meta.mime").alias("mime")),
+        "doc_id",
+    )
+    is_bmp = F.col("mime") == "image/bmp"
+    return j.select(
+        "doc_id", "mime",
+        F.round(
+            F.when(is_bmp, F.element_at("features", 1))
+            .otherwise(F.element_at("features", 4))
+        ).cast("long").alias("feat_a"),
+        F.round(
+            F.when(is_bmp, F.element_at("features", 7))
+            .otherwise(F.element_at("features", 5))
+        ).cast("long").alias("feat_b"),
     )
 
 
@@ -934,7 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tcf_membership": q_tcf_membership,
         "kmer_pack_membership": q_kmer_pack_membership,
         "counting_membership": q_counting_membership,
+        "stream_vs_batch_build": q_stream_vs_batch_build,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_decode": q_multimodal_real_decode,
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_events_per_user": q_top_events_per_user,
         "events_json_extract": q_events_json_extract,
@@ -1243,13 +1342,27 @@ def oracle_sql() -> dict[str, str]:
             FROM km
         """,
         "counting_membership": """
-            SELECT o_custkey AS custkey, count(*) AS cnt,
+            SELECT l_orderkey AS orderkey, count(*) AS cnt,
                    count(*) - 1 AS cnt_after_delete
-            FROM orders GROUP BY o_custkey
+            FROM lineitem GROUP BY l_orderkey
         """,
+        "stream_vs_batch_build":
+            "SELECT doc_id, TRUE AS stream_member, TRUE AS batch_member "
+            "FROM documents",
         "multimodal_features": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    CAST(8 AS INT) AS feat_dim
+            FROM documents
+        """,
+        "multimodal_real_decode": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                        ELSE 'audio/wav' END AS mime,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 256
+                             ELSE (doc_id % 100) * 10 + 100
+                        END AS BIGINT) AS feat_a,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 255
+                        END AS BIGINT) AS feat_b
             FROM documents
         """,
         "q1_pricing_summary": """

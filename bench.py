@@ -189,7 +189,7 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
         reclaim(spark)
         t0 = time.time()
         bfilt = ShardedCuckooFilter.build_bucketed(
-            bucketed, capacity, num_shards, CFG
+            bucketed, capacity, num_shards, CFG, path=bucketed_path
         )
         bm = bfilt.metrics().collect()[0]
         dt = time.time() - t0

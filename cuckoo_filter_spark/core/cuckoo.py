@@ -543,7 +543,12 @@ class CuckooFilter:
         number of stored instances; like every partial-key structure
         it can over-count when a DIFFERENT key collides on both
         fingerprint and bucket pair (probability ≈ the membership
-        FPR). Deletes decrement it (multiset ``delete_many``)."""
+        FPR). Deletes decrement it (multiset ``delete_many``).
+        Geometry bound: a key's copies can only occupy its two
+        candidate buckets, so stored multiplicity saturates at
+        2*bucket_size — size ``bucket_size`` >= half the largest
+        expected multiplicity (a GQF counter has no such cap; it
+        trades this for approximate membership on deletion)."""
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         n = len(keys)
         out = np.zeros(n, dtype=np.int64)

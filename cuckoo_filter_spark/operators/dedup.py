@@ -33,6 +33,15 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _SHINGLE_P = np.uint64(1099511628211)
 
 
+def _mod_mersenne(v: np.ndarray) -> np.ndarray:
+    """v % (2^61-1) for uint64 v via the Mersenne mask-shift identity
+    (v & M) + (v >> 61), one conditional subtract — bit-identical to
+    ``v % _MERSENNE`` (any v < 2^64 needs at most one fold) at a
+    fraction of the divide cost."""
+    t = (v & _MERSENNE) + (v >> np.uint64(61))
+    return np.where(t >= _MERSENNE, t - _MERSENNE, t)
+
+
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     """Keep the min-id representative per exact content group.
     Hash first so the shuffle carries (hash, id), not content."""
@@ -73,8 +82,8 @@ def _minhash_params(num_hashes: int, seed: int = 42):
 def _signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """min over shingles of (a*x + b) mod (2^61-1), per hash fn."""
     with np.errstate(over="ignore"):
-        x = shingles % _MERSENNE
-        vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+        x = _mod_mersenne(shingles)
+        vals = _mod_mersenne(a[:, None] * x[None, :] + b[:, None])
     return vals.min(axis=1)
 
 
@@ -86,7 +95,19 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature array<long>) per document."""
+    """(id, signature array<long>) per document.
+
+    Stays with the per-document numpy kernel DELIBERATELY: a fully
+    flattened multi-doc pass (concatenate all texts, one sliding
+    hash, lexsort shingle dedup, segmented ``minimum.reduceat``) was
+    built and MEASURED SLOWER at every doc-size regime — 0.65x on
+    the real sf0.1 corpus (297-char docs), 0.48x on 40-char docs,
+    1.17x best-case on dense synthetic 400-char docs (BENCH/NOTES.md
+    round-4 §2). The kernel is arithmetic-bound (128 hash fns x
+    shingles dominates at ~5.5 ns/element either way) and the
+    per-doc (num_hashes, ~300)-element matrices are L1/L2-resident,
+    which the flattened layout forfeits. Per-doc Python overhead is
+    ~10% of wall time — not the bottleneck."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = _minhash_params(num_hashes, seed)
@@ -253,12 +274,23 @@ def connected_components(
       self-join), which collapses label chains geometrically, so
       convergence is O(log diameter) rounds rather than O(diameter).
 
-    Each round the label DataFrame is ``localCheckpoint``-ed: it
-    truncates the iterative lineage (otherwise the plan doubles per
-    round) and materializes the round's result. On a cluster with a
-    configured checkpoint dir, ``DataFrame.checkpoint`` is the
-    fault-tolerant alternative; executor loss during the loop then
-    re-reads state instead of recomputing the chain.
+    Each round ends with ONE ``localCheckpoint`` (of the
+    pointer-jumped labels): it truncates the iterative lineage
+    (otherwise the plan doubles per round) and materializes the
+    round's result. Superseded rounds' Python references drop on
+    reassignment, so Spark's ContextCleaner reclaims their blocks
+    (verified empirically: blocks free once the Dataset is
+    unreachable and a GC cycle runs); peak retention is two rounds
+    of (node, label) longs. On a cluster with a configured
+    checkpoint dir, ``DataFrame.checkpoint`` is the fault-tolerant
+    alternative; executor loss during the loop then re-reads state
+    instead of recomputing the chain.
+
+    Raises ``RuntimeError`` if ``max_iterations`` is exhausted
+    before the fixed point — partially-converged labels are WRONG
+    answers (over-segmented clusters), never returned silently.
+    With pointer jumping, 25 rounds cover any component diameter up
+    to ~2^25, so hitting the cap indicates a pathological input.
 
     Convergence detection is free of an extra join: labels only ever
     decrease, so the label sum is strictly decreasing until the
@@ -283,6 +315,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iterations):
         msgs = edges.join(
             labels, edges["src"] == labels["node"]
@@ -291,11 +324,13 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
         ptr = merged.select(
             F.col("node").alias("__pnode"), F.col("label").alias("__plabel")
         )
+        # one checkpoint per round (the jumped labels) — checkpointing
+        # `merged` too would double the materialized blocks for no
+        # lineage benefit
         jumped = (
             merged.join(ptr, merged["label"] == ptr["__pnode"], "left")
             .select(
@@ -307,11 +342,19 @@ def connected_components(
         s = jumped.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
-        labels = jumped
+        labels = jumped  # drops the prior round's reference
         if prev_sum is not None and s == prev_sum:
+            converged = True
             break
         prev_sum = s
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the label fixed point "
+            f"within {max_iterations} iterations; partial labels would "
+            "over-segment clusters. Raise max_iterations (pointer "
+            "jumping needs ~log2(component diameter) rounds)."
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

@@ -356,9 +356,19 @@ class ShardedCuckooFilter:
     #: candidate packing for routed ops. None for externally loaded
     #: shard sets.
     shard_num_buckets: Optional[int] = None
+    #: broadcast-lane size guard: collecting + broadcasting every
+    #: shard blob only makes sense while the whole filter fits the
+    #: driver and executors comfortably. Past this many blob bytes
+    #: the broadcast lanes fall back to the shard-routed ops (state
+    #: stays on executors) with a warning — or raise, see
+    #: ``on_oversize_broadcast``.
+    max_broadcast_bytes: int = 512 << 20
+    #: "fallback" (default) routes the op instead; "raise" errors.
+    on_oversize_broadcast: str = "fallback"
     _stacked: object = None  # cached (broadcast, nb, bs, dtype_name)
     _words: object = None    # cached (words DF, wpb, nb) for SQL probe
     _del_state: object = None  # cached (full_rows, broadcast) for delete_broadcast
+    _blob_bytes: object = None  # cached total blob bytes (size guard)
 
     @staticmethod
     def build(
@@ -481,6 +491,27 @@ class ShardedCuckooFilter:
             shards, num_shards, cfg, key_col, shard_num_buckets=nb
         )
 
+    #: sidecar file recording the packed-layout parameters inside a
+    #: write_bucketed_keys table directory
+    LAYOUT_SIDECAR = "_cuckoo_layout.json"
+
+    @staticmethod
+    def _layout_payload(
+        num_shards: int, per_shard_cap: int, cfg: CuckooConfig,
+        shard_shift: Optional[int],
+    ) -> dict:
+        return {
+            "version": 1,
+            "layout": "packed1" if shard_shift is not None else "two_col",
+            "shard_shift": shard_shift,
+            "num_shards": num_shards,
+            "per_shard_cap": per_shard_cap,
+            "num_buckets": cfg.num_buckets_for(per_shard_cap),
+            "bits_per_tag": cfg.bits_per_tag,
+            "bucket_size": cfg.bucket_size,
+            "bucket_policy": cfg.bucket_policy,
+        }
+
     @staticmethod
     def build_bucketed(
         df: DataFrame,
@@ -488,6 +519,7 @@ class ShardedCuckooFilter:
         num_shards: int,
         config: Optional[CuckooConfig] = None,
         key_col: str = "key",
+        path: Optional[str] = None,
     ) -> "ShardedCuckooFilter":
         """Zero-shuffle build from a pre-bucketed source.
 
@@ -504,9 +536,41 @@ class ShardedCuckooFilter:
         Tasks may mix shards; the builder groups arrow-side, so
         file/task alignment is a performance knob, not a correctness
         requirement.
+
+        The packed layout is only decodable with the write-time
+        parameters — a mismatched ``capacity``/``num_shards``/
+        ``config`` would silently mis-extract shard ids and tags
+        (corrupt filter). ``write_bucketed_keys`` therefore records
+        the layout in a ``_cuckoo_layout.json`` sidecar; pass
+        ``path`` so this build validates its derived layout against
+        it and raises on any mismatch instead of corrupting.
         """
         cfg = config or CuckooConfig()
         per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
+        if path is not None:
+            from cuckoo_filter_spark.sources.parquet_io import (
+                read_json_sidecar,
+            )
+
+            recorded = read_json_sidecar(
+                df.sparkSession, path, ShardedCuckooFilter.LAYOUT_SIDECAR
+            )
+            if recorded is not None:
+                derived = ShardedCuckooFilter._layout_payload(
+                    num_shards, per_shard_cap, cfg,
+                    _packed_shard_shift(per_shard_cap, num_shards, cfg),
+                )
+                diffs = {
+                    k: (recorded.get(k), v)
+                    for k, v in derived.items()
+                    if recorded.get(k) != v
+                }
+                if diffs:
+                    raise ValueError(
+                        "bucketed table layout mismatch (recorded vs "
+                        f"derived): {diffs} — rebuild with the write-time "
+                        "capacity/num_shards/config or re-write the table"
+                    )
         if "__shard" in df.columns:
             shards = df.select("__shard", "__packed").mapInArrow(
                 _arrow_shard_builder(per_shard_cap, cfg), schema=_SHARD_SCHEMA
@@ -545,8 +609,12 @@ class ShardedCuckooFilter:
         spare upper bits, the reference pack-kernel layout
         (``CuckooFilter.cuh:1185-1207``) — so the build scans and
         ships 8 B/row instead of 16; otherwise the two-column
-        ``(__shard, __packed)`` fallback is written."""
+        ``(__shard, __packed)`` fallback is written. A
+        ``_cuckoo_layout.json`` sidecar records the layout
+        parameters so :meth:`build_bucketed` can validate instead of
+        trusting caller-supplied geometry."""
         from cuckoo_filter_spark.hashing import packed_expr
+        from cuckoo_filter_spark.sources.parquet_io import write_json_sidecar
 
         cfg = config or CuckooConfig()
         per_shard_cap = int(math.ceil(capacity / num_shards * OVERPROVISION))
@@ -566,16 +634,22 @@ class ShardedCuckooFilter:
                 )
                 .write.mode("overwrite").parquet(path)
             )
-            return
-        (
-            df.select(
-                shard_expr(key_col, num_shards).alias("__shard"),
-                packed_expr(
-                    key_col, nb, cfg.bits_per_tag, cfg.bucket_policy
-                ).alias("__packed"),
+        else:
+            (
+                df.select(
+                    shard_expr(key_col, num_shards).alias("__shard"),
+                    packed_expr(
+                        key_col, nb, cfg.bits_per_tag, cfg.bucket_policy
+                    ).alias("__packed"),
+                )
+                .repartition(num_shards, "__shard")
+                .write.mode("overwrite").parquet(path)
             )
-            .repartition(num_shards, "__shard")
-            .write.mode("overwrite").parquet(path)
+        write_json_sidecar(
+            df.sparkSession, path, ShardedCuckooFilter.LAYOUT_SIDECAR,
+            ShardedCuckooFilter._layout_payload(
+                num_shards, per_shard_cap, cfg, shard_shift
+            ),
         )
 
     @staticmethod
@@ -608,6 +682,57 @@ class ShardedCuckooFilter:
     def persist(self) -> "ShardedCuckooFilter":
         self.shards = self.shards.persist()
         return self
+
+    def total_blob_bytes(self) -> int:
+        """Total serialized filter bytes across shards (one cheap
+        aggregate; cached — shards are immutable)."""
+        if self._blob_bytes is None:
+            object.__setattr__(
+                self, "_blob_bytes",
+                int(
+                    self.shards.agg(
+                        F.sum(F.length("blob")).alias("b")
+                    ).collect()[0]["b"] or 0
+                ),
+            )
+        return self._blob_bytes
+
+    def _broadcast_guard(self, op: str) -> bool:
+        """True when the broadcast lane may proceed. Oversized state
+        either falls back (caller routes instead) or raises,
+        depending on ``on_oversize_broadcast``. Skipped once a
+        broadcast cache already exists (the bytes are already
+        shipped)."""
+        if self._stacked is not None or self._del_state is not None:
+            return True
+        if not self.shards.is_cached:
+            # the size aggregate materializes the shard state; cache
+            # it so the broadcast collect (or the routed fallback)
+            # reads the built filter instead of rebuilding it
+            self.persist()
+        size = self.total_blob_bytes()
+        if size <= self.max_broadcast_bytes:
+            return True
+        if self.on_oversize_broadcast == "raise":
+            raise ValueError(
+                f"{op}: filter state is {size >> 20} MiB serialized, over "
+                f"the {self.max_broadcast_bytes >> 20} MiB broadcast "
+                "guard — use the shard-routed op (state stays on "
+                "executors), or raise max_broadcast_bytes if the cluster "
+                "can take it"
+            )
+        import warnings
+
+        warnings.warn(
+            f"{op}: filter state is {size >> 20} MiB serialized, over the "
+            f"{self.max_broadcast_bytes >> 20} MiB broadcast guard; "
+            "falling back to the shard-routed lane (set "
+            "on_oversize_broadcast='raise' or raise max_broadcast_bytes "
+            "to override)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return False
 
     # -- routed batch ops -------------------------------------------------
 
@@ -692,6 +817,21 @@ class ShardedCuckooFilter:
         """Batched membership, shard-routed (returns key → bool)."""
         return self._routed(queries, "contains", out_col)
 
+    def _routed_with_columns(
+        self, queries: DataFrame, key_col: str, out_col: str
+    ) -> DataFrame:
+        """Routed membership with the broadcast lanes' output shape
+        (all query columns kept + out_col) — the oversize fallback:
+        probe the distinct keys through the shard-routed lane, then
+        join the answers back onto the full query rows."""
+        probes = queries.select(
+            F.col(key_col).alias(self.key_col)
+        ).distinct()
+        res = self._routed(probes, "contains", out_col)
+        if self.key_col != key_col:
+            res = res.withColumnRenamed(self.key_col, key_col)
+        return queries.join(res, key_col)
+
     def counts(self, queries: DataFrame, out_col: str = "count") -> DataFrame:
         """Batched exact counting query, shard-routed (key → stored
         multiplicity) — the counting-structure surface the reference
@@ -727,6 +867,8 @@ class ShardedCuckooFilter:
                 "use .contains() (shard-routed) for other policies"
             )
         key_col = key_col or self.key_col
+        if not self._broadcast_guard("contains_broadcast"):
+            return self._routed_with_columns(queries, key_col, out_col)
         spark = queries.sparkSession
         tag_mask = self.config.tag_mask
         if self._stacked is None:
@@ -823,6 +965,8 @@ class ShardedCuckooFilter:
                 "SQL probe implements XOR/AddSub addressing"
             )
         key_col = key_col or self.key_col
+        if self._words is None and not self._broadcast_guard("contains_sql"):
+            return self._routed_with_columns(queries, key_col, out_col)
         spark = queries.sparkSession
         if getattr(self, "_words", None) is None:
             filters = {
@@ -1001,6 +1145,8 @@ class ShardedCuckooFilter:
         stream of mutating micro-batches, use
         ``streaming.membership.stream_apply_ops`` — state there
         lives on the executors and is never re-shipped."""
+        if not self._broadcast_guard("delete_broadcast"):
+            return self.delete(deletes, per_key=True)
         key_col = self.key_col
         cfg = self.config
         spark = deletes.sparkSession

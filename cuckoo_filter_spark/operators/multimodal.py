@@ -4,16 +4,20 @@ metadata, processed in Arrow batches.
 Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct. The Spark-side machinery — schema, partition-size
 control, mapInPandas batch shape, feature-column output — is real
-and tested; the actual media DECODE step is stubbed behind
-``decode_stub`` (codec libraries are not available in this
-container): it deterministically derives a fixed-dimension feature
-vector from the payload bytes so tests exercise the full pipeline
-shape. Swap ``decode_stub`` for a real decoder (PIL/ffmpeg) in
-production — the surrounding plan does not change.
+and tested, and so is the decode step for the codec-free formats:
+24-bit uncompressed **BMP** and PCM16 **WAV** are parsed with pure
+numpy (``decode_bmp`` / ``decode_wav`` — full header validation,
+bottom-up rows, 4-byte row padding, RIFF chunk walk). Formats that
+need real codec libraries (JPEG/PNG/MP3/...) stay behind an
+explicit ``NotImplementedError`` (none are available in this
+container) — plug a PIL/ffmpeg-backed callable into
+``extract_features(decoder=...)`` in production; the surrounding
+plan does not change.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Callable, Iterator
 
 import numpy as np
@@ -41,11 +45,127 @@ def attach_media(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# codec-free formats: 24-bit BMP and PCM16 WAV, pure numpy
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP (BITMAPINFOHEADER, bottom-up rows, rows padded to 4 bytes —
+    the on-disk layout every BMP reader expects)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    data_size = stride * h
+    # pixel rows bottom-up, channels as BGR
+    bgr = pixels[::-1, :, ::-1]
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(raw: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP into (h, w, 3) uint8 RGB —
+    validates the magic/bpp/compression fields, honors the data
+    offset, strips row padding, and flips bottom-up storage."""
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", raw, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", raw, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", raw, 26)
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if bottom_up else rgb.copy()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a PCM16 RIFF/WAVE file."""
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM16 mono RIFF/WAVE payload → (sample_rate,
+    int16 samples). Walks the chunk list (fmt may not be adjacent to
+    data), validating the PCM16 format fields."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(raw):
+        cid, size = struct.unpack_from("<4sI", raw, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", raw, body
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only PCM16 mono WAV supported "
+                    f"(fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(raw, dtype="<i2", count=size // 2,
+                                    offset=body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, samples
+
+
+def bmp_features(raw: bytes) -> np.ndarray:
+    """FEATURE_DIM floats from a decoded BMP: per-channel means,
+    grayscale std/min/max, width, height."""
+    px = decode_bmp(raw).astype(np.float64)
+    gray = px.mean(axis=2)
+    return np.array([
+        px[:, :, 0].mean(), px[:, :, 1].mean(), px[:, :, 2].mean(),
+        gray.std(), gray.min(), gray.max(),
+        float(px.shape[1]), float(px.shape[0]),
+    ])
+
+
+def wav_features(raw: bytes) -> np.ndarray:
+    """FEATURE_DIM floats from a decoded WAV: mean, rms, min, max,
+    zero-crossing count, duration (s), sample count, rate."""
+    rate, s = decode_wav(raw)
+    sf = s.astype(np.float64)
+    zc = int(np.count_nonzero(np.signbit(sf[1:]) != np.signbit(sf[:-1])))
+    return np.array([
+        sf.mean(), np.sqrt((sf ** 2).mean()), sf.min(), sf.max(),
+        float(zc), len(sf) / rate, float(len(sf)), float(rate),
+    ])
+
+
 def decode_stub(payloads: pd.Series) -> np.ndarray:
-    """STUB decoder: deterministic FEATURE_DIM-float features from
-    payload bytes (seeded hash of 8-byte strides). Raises for real
-    media types — replace with an actual decoder in production.
-    """
+    """STUB decoder for opaque payloads: deterministic FEATURE_DIM
+    floats from payload bytes (seeded hash of 8-byte strides)."""
     feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
     for i, raw in enumerate(payloads):
         b = np.frombuffer(bytes(raw), dtype=np.uint8)
@@ -61,38 +181,126 @@ def decode_stub(payloads: pd.Series) -> np.ndarray:
     return feats
 
 
+def dispatch_decode(payloads: pd.Series, mimes: pd.Series) -> np.ndarray:
+    """Default decoder: real numpy decode for the codec-free formats,
+    the hash stub for opaque bytes, an explicit error for everything
+    else (no codec libraries in this container)."""
+    feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float64)
+    stub_rows = []
+    for i, (raw, mime) in enumerate(zip(payloads, mimes)):
+        raw = bytes(raw)
+        if mime == "image/bmp":
+            feats[i] = bmp_features(raw)
+        elif mime == "audio/wav":
+            feats[i] = wav_features(raw)
+        elif mime == "application/octet-stream":
+            stub_rows.append(i)
+        else:
+            raise NotImplementedError(
+                f"no codec available for {mime}; plug a PIL/ffmpeg-backed "
+                "decoder into extract_features(decoder=...)"
+            )
+    if stub_rows:
+        feats[stub_rows] = decode_stub(
+            payloads.iloc[stub_rows]
+        ).astype(np.float64)
+    return feats
+
+
 def real_decode(payloads: pd.Series, mime: str) -> np.ndarray:
-    """Placeholder for the production decoder; the container has no
-    codec libraries, so any real media type is an explicit error
-    rather than silent garbage."""
-    raise NotImplementedError(
-        f"no codec available for {mime}; plug a PIL/ffmpeg-backed "
-        "decoder into extract_features(decoder=...)"
+    """Kept for API compatibility: decode a homogeneous payload
+    series by mime through :func:`dispatch_decode`."""
+    return dispatch_decode(
+        payloads, pd.Series([mime] * len(payloads))
     )
 
 
 def extract_features(
     media_df: DataFrame,
     id_col: str,
-    decoder: Callable[[pd.Series], np.ndarray] = decode_stub,
+    decoder: Callable[..., np.ndarray] = dispatch_decode,
     batch_rows: int = 1024,
 ) -> DataFrame:
     """mapInPandas feature extraction: (id, n_bytes, features
     array<float>). Batches are re-chunked to bound peak memory —
     media rows are large, so Arrow's default batch sizing by row
-    count would otherwise blow up on wide payloads."""
+    count would otherwise blow up on wide payloads. The decoder is
+    called as ``decoder(payloads, mimes)`` (mime from
+    ``media_meta.mime``; falls back to octet-stream when the frame
+    has no metadata column); single-argument legacy decoders are
+    detected and called with payloads only."""
+    import inspect
+
+    wants_mime = len(inspect.signature(decoder).parameters) >= 2
+    has_meta = "media_meta" in media_df.columns
+    cols = [id_col, "media"] + (
+        [F.col("media_meta.mime").alias("__mime")] if has_meta else []
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo : lo + batch_rows]
-                feats = decoder(chunk["media"])
+                if wants_mime:
+                    mimes = (
+                        chunk["__mime"]
+                        if "__mime" in chunk.columns
+                        else pd.Series(
+                            ["application/octet-stream"] * len(chunk)
+                        )
+                    )
+                    feats = decoder(chunk["media"], mimes)
+                else:
+                    feats = decoder(chunk["media"])
                 yield pd.DataFrame({
                     id_col: chunk[id_col].to_numpy(),
                     "n_bytes": chunk["media"].map(len).to_numpy(np.int64),
                     "features": list(feats.astype(float)),
                 })
 
-    return media_df.select(id_col, "media").mapInPandas(
+    return media_df.select(*cols).mapInPandas(
         run, schema=f"{id_col} long, n_bytes long, features array<double>"
+    )
+
+
+def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic BMP/WAV fixtures per row — the test/bench stand-
+    in for a real media column. Even ids get a 16x16 solid-color BMP
+    (r,g,b derived from the id), odd ids a 256-sample square-wave
+    WAV (amplitude derived from the id). Payload bytes are generated
+    inside the Arrow batch (real files, real headers), so the decode
+    path exercises the exact on-disk layouts."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(np.int64)
+            media, mimes = [], []
+            for i in ids:
+                if i % 2 == 0:
+                    r, g, b = (i * 7) % 256, (i * 13) % 256, (i * 29) % 256
+                    px = np.zeros((16, 16, 3), dtype=np.uint8)
+                    px[:, :] = (r, g, b)
+                    media.append(encode_bmp(px))
+                    mimes.append("image/bmp")
+                else:
+                    amp = int(i % 100) * 10 + 100
+                    s = np.empty(256, dtype=np.int16)
+                    s[0::2] = amp
+                    s[1::2] = -amp
+                    media.append(encode_wav(s, rate=8000))
+                    mimes.append("audio/wav")
+            yield pd.DataFrame({
+                id_col: ids, "media": media, "__mime": mimes,
+            })
+
+    out = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary, __mime string"
+    )
+    return out.select(
+        id_col, "media",
+        F.struct(
+            F.col("__mime").alias("mime"),
+            F.length("media").alias("n_bytes"),
+            F.lit("synthetic").alias("origin"),
+        ).alias("media_meta"),
     )

@@ -48,18 +48,29 @@ def top_k_per_group(
     ascending = [not descending] + [True] * len(tie_cols)
     cols = df.columns
 
+    def spark_head(g: pd.DataFrame) -> pd.DataFrame:
+        # Spark null-ordering parity: asc ranks nulls FIRST
+        # (asc_nulls_first), desc ranks them LAST (desc_nulls_last).
+        # pandas sort_values has one na_position for all columns, so
+        # emulate the mixed ordering with a stable multi-pass sort
+        # (last key first), each pass with its own na_position.
+        for c, asc in reversed(list(zip(sort_cols, ascending))):
+            g = g.sort_values(
+                c, ascending=asc, kind="stable",
+                na_position="first" if asc else "last",
+            )
+        return g.head(k)
+
     def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best: dict = {}
         for pdf in batches:
-            for key, g in pdf.groupby(group_cols, sort=False):
-                g = g.sort_values(sort_cols, ascending=ascending).head(k)
+            # dropna=False: rows whose group key is null form a group
+            # of their own, exactly as Spark's partitionBy treats them
+            for key, g in pdf.groupby(group_cols, sort=False, dropna=False):
+                g = spark_head(g)
                 prev = best.get(key)
                 if prev is not None:
-                    g = (
-                        pd.concat([prev, g])
-                        .sort_values(sort_cols, ascending=ascending)
-                        .head(k)
-                    )
+                    g = spark_head(pd.concat([prev, g]))
                 best[key] = g
         if best:
             yield pd.concat(best.values())

@@ -13,9 +13,48 @@ fed by the scan (measured: a 123 MB / 32-file key table scanned as
 
 from __future__ import annotations
 
+import json
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def write_json_sidecar(
+    spark: SparkSession, table_path: str, name: str, payload: dict
+) -> None:
+    """Write a small JSON metadata file inside a table directory via
+    the Hadoop FileSystem API — works on any scheme (file/hdfs/s3a),
+    unlike driver-local ``open()``."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(payload, indent=1).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_json_sidecar(
+    spark: SparkSession, table_path: str, name: str
+) -> Optional[dict]:
+    """Read a JSON sidecar written by :func:`write_json_sidecar`;
+    None if absent."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{name}")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # py4j passes Python bytearrays by value, so stream.read(buf)
+        # can't return data — have the JVM drain the stream instead
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
 
 
 def read_matched_splits(

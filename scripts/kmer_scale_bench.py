@@ -1,0 +1,183 @@
+"""Genome-regime k-mer benchmark: the reference's n = 2^28 point
+(``/root/reference/benchmark/benchmark_common.cuh:377-384`` sweeps
+2^24..2^28 keys; ``kmer_benchmark.cu:26-47`` runs k in {21,31} from
+E. coli to human-T2T k-mer sets).
+
+Synthesizes ~2.5e8 DISTINCT packed 21-mers entirely JVM-side —
+deterministic nucleotides from xxhash64(id) through the SAME 2-bit
+pack codegen the real ingest uses (``sources.kmers.packed_kmer_expr``,
+kmc_to_binary.cpp parity) — materializes them to parquet (the
+deployment shape: filters build from files), then measures at
+c = SPARK_GRAFT_CPUS:
+
+* bucketed zero-Exchange build (write_bucketed_keys + build_bucketed)
+* stacked-broadcast batched contains over positives + disjoint
+  negatives (~2x keys)
+
+Writes BENCH/kmer_scale.json. Memory: 2^28 slots x 2B tags = 512 MiB
+of filter state + ~2 GB parquet — fits the 128 GiB sandbox with room.
+
+Usage: python scripts/kmer_scale_bench.py [log2_slots]  (default 28)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bench import CFG, TARGET_LOAD, OVER, build_session, prefault_memory, reclaim
+from cuckoo_filter_spark.operators.membership import ShardedCuckooFilter
+from cuckoo_filter_spark.sources.kmers import packed_kmer_expr
+
+K = 21
+
+
+def kmer_string_expr(id_col, seed: int):
+    """Deterministic 21-nucleotide string from a row id, derived
+    JVM-side: 2 bits of xxhash64 per position → ACGT. Distinct ids
+    give distinct strings with collision probability n^2/2^42-ish
+    per seed-pair; duplicates are dropped after packing."""
+    h1 = F.xxhash64(id_col, F.lit(seed))
+    h2 = F.xxhash64(id_col, F.lit(seed + 1))
+    chars = []
+    for i in range(K):
+        h = h1 if i < 16 else h2
+        code = F.shiftrightunsigned(h, 2 * (i % 16)).bitwiseAND(F.lit(3))
+        chars.append(
+            F.element_at(F.lit(["A", "C", "G", "T"]), code.cast("int") + 1)
+        )
+    return F.concat(*chars)
+
+
+def main():
+    log2_slots = int(sys.argv[1]) if len(sys.argv) > 1 else 28
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    prefault_memory(int(os.environ.get("SPARK_GRAFT_PREFAULT_GB", "16")))
+    spark = build_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    num_shards = max(2 * cpus, 16)
+    slot_capacity = 1 << log2_slots
+    per_shard_slots = slot_capacity // num_shards
+    n_keys = int(slot_capacity * TARGET_LOAD)
+    capacity = int(slot_capacity / OVER())
+    while int(np.ceil(capacity / num_shards * OVER())) > per_shard_slots:
+        capacity -= num_shards
+
+    work = os.environ.get("SPARK_GRAFT_WORK_DIR", "/tmp/spark_graft_bench")
+    keys_path = f"{work}/kmers_{n_keys}.parquet"
+    bucketed_path = f"{work}/kmers_bucketed_{n_keys}.parquet"
+    probes_path = f"{work}/kmer_probes_{n_keys}.parquet"
+
+    t0 = time.time()
+    # over-generate 2% then cap at n_keys after dropping the rare
+    # string-collision duplicates (pack is injective on strings)
+    gen = (
+        spark.range(int(n_keys * 1.02), numPartitions=cpus * 2)
+        .select(
+            packed_kmer_expr(
+                kmer_string_expr(F.col("id"), seed=11), k=K
+            ).alias("key")
+        )
+        .dropDuplicates(["key"])
+        .limit(n_keys)
+    )
+    gen.write.mode("overwrite").parquet(keys_path)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+    keys = spark.read.parquet(keys_path)
+    n_rows = keys.count()
+    t_gen = time.time() - t0
+    print(f"# generated {n_rows} packed {K}-mers in {t_gen:.1f}s", flush=True)
+
+    # negatives: a disjoint seed's k-mer population (packed values
+    # collide with the positive set only by chance ~ n^2/4^21)
+    (
+        keys.select("key").unionByName(
+            spark.range(n_keys, numPartitions=cpus * 2).select(
+                packed_kmer_expr(
+                    kmer_string_expr(F.col("id"), seed=777), k=K
+                ).alias("key")
+            )
+        ).write.mode("overwrite").parquet(probes_path)
+    )
+    probes = spark.read.parquet(probes_path)
+    n_probes = probes.count()
+
+    # warm worker pool
+    import pandas as _pd
+
+    def _warm(it):
+        from cuckoo_filter_spark.core.cuckoo import CuckooFilter  # noqa
+        for pdf in it:
+            yield _pd.DataFrame({"x": [len(pdf)]})
+
+    spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(_warm, "x long").count()
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    out = {"k": K, "n_keys": n_rows, "log2_slots": log2_slots, "cpus": cpus}
+
+    # one-time bucketing (the ingest-time step), then the zero-
+    # Exchange build — the reference's build benchmark shape
+    t0 = time.time()
+    ShardedCuckooFilter.write_bucketed_keys(
+        keys, "key", capacity, num_shards, bucketed_path, CFG
+    )
+    out["bucket_write_s"] = round(time.time() - t0, 2)
+    bucketed = ShardedCuckooFilter.read_bucketed_keys(spark, bucketed_path)
+    best = None
+    filt = None
+    for _ in range(reps):
+        if filt is not None:
+            filt.shards.unpersist()
+        reclaim(spark)
+        t0 = time.time()
+        filt = ShardedCuckooFilter.build_bucketed(
+            bucketed, capacity, num_shards, CFG, path=bucketed_path
+        ).persist()
+        m = filt.metrics().collect()[0]
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out["build_bucketed_s"] = round(best, 2)
+    out["inserts_per_sec"] = round(n_rows / best)
+    out["load_factor"] = round(m["occupied"] / slot_capacity, 4)
+    out["insert_success_rate"] = round(m["occupied"] / m["rows"], 6)
+    out["kicks_per_insert"] = round(m["kicks"] / m["rows"], 3)
+
+    # contains at ~2n probes; 2^28 slots = 512 MiB stacked state —
+    # raise the broadcast guard for this box (128 GiB)
+    object.__setattr__(filt, "max_broadcast_bytes", 4 << 30)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+    best = None
+    for _ in range(reps):
+        reclaim(spark)
+        t0 = time.time()
+        res = filt.contains_broadcast(probes, "key")
+        n_member = res.filter(F.col("member")).count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out["contains_s"] = round(best, 2)
+    out["queries_per_sec"] = round(n_probes / best)
+    out["n_probes"] = n_probes
+    out["contains_fpr"] = round(
+        max(0.0, (n_member - m["occupied"]) / max(n_probes - n_rows, 1)), 8
+    )
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "kmer_scale.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

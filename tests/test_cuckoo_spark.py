@@ -250,3 +250,63 @@ def test_delete_broadcast_state_cached(spark, repo_df):
     assert r1.count() == evens.count() and r2.count() == odds.count()
     sharded.release()
     assert sharded._del_state is None
+
+
+def test_sharded_counts_exact(spark, repo_df):
+    """GQF-parity counting query: inserting each key 1-3 times gives
+    exact multiplicities through the routed counts() lane, and a
+    multiset delete decrements them (32-bit tags -> collision odds
+    ~1e-9, so the comparison is exact in practice)."""
+    cfg32 = CuckooConfig(bits_per_tag=32, bucket_size=4)
+    some = repo_df.select("key").limit(3000)
+    dup = some.limit(1200)
+    trip = some.limit(400)
+    stream = some.unionByName(dup).unionByName(trip)
+    filt = ShardedCuckooFilter.build(
+        stream, "key", CAPACITY, 8, cfg32
+    ).persist()
+    got = {r.key: r.cnt for r in filt.counts(some, "cnt").collect()}
+    keys = [r.key for r in some.collect()]
+    dup_keys = set(r.key for r in dup.collect())
+    trip_keys = set(r.key for r in trip.collect())
+    for k in keys:
+        want = 1 + (k in dup_keys) + (k in trip_keys)
+        assert got[k] == want, k
+    _, after = filt.delete(dup, per_key=False)
+    got2 = {r.key: r.cnt for r in after.counts(dup, "cnt").collect()}
+    for k in dup_keys:
+        assert got2[k] == got[k] - 1, k
+
+
+def test_broadcast_guard_raises_and_falls_back(spark, repo_df):
+    """VERDICT r3 task 4: an oversized filter must not be silently
+    collected+broadcast. raise mode errors; fallback mode warns and
+    answers identically through the routed lane."""
+    import warnings
+
+    sharded = ShardedCuckooFilter.build(
+        repo_df, "key", CAPACITY, 8, CFG
+    ).persist()
+    probes = repo_df.select("key").limit(500)
+    want = {r.key: r.member for r in sharded.contains(probes).collect()}
+
+    object.__setattr__(sharded, "max_broadcast_bytes", 1024)  # force trip
+    object.__setattr__(sharded, "on_oversize_broadcast", "raise")
+    with pytest.raises(ValueError, match="broadcast guard"):
+        sharded.contains_broadcast(probes)
+    with pytest.raises(ValueError, match="broadcast guard"):
+        sharded.contains_sql(probes)
+    with pytest.raises(ValueError, match="broadcast guard"):
+        sharded.delete_broadcast(probes)
+
+    object.__setattr__(sharded, "on_oversize_broadcast", "fallback")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            r.key: r.member
+            for r in sharded.contains_broadcast(probes).collect()
+        }
+        assert any("broadcast guard" in str(x.message) for x in w)
+    assert got == want
+    res, _ = sharded.delete_broadcast(probes.limit(50))
+    assert res.filter(F.col("ok")).count() == 50

@@ -1,0 +1,104 @@
+"""Multimodal plumbing + the pure-numpy BMP/WAV codecs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoo_filter_spark.operators import multimodal as mm
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (5, 3), (1, 1), (7, 11)])
+def test_bmp_roundtrip_random(w, h):
+    # widths 5/7 force 4-byte row padding — the layout detail naive
+    # decoders get wrong
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = mm.encode_bmp(px)
+    assert raw[:2] == b"BM"
+    out = mm.decode_bmp(raw)
+    assert out.shape == (h, w, 3)
+    assert (out == px).all()
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"NOTABMP" + b"\x00" * 64)
+
+
+def test_wav_roundtrip_random():
+    rng = np.random.default_rng(43)
+    s = rng.integers(-32768, 32767, 1000).astype(np.int16)
+    raw = mm.encode_wav(s, rate=44100)
+    rate, out = mm.decode_wav(raw)
+    assert rate == 44100
+    assert (out == s).all()
+
+
+def test_wav_chunk_walk():
+    # fmt and data separated by an unknown chunk: the decoder must
+    # walk the RIFF chunk list, not assume adjacency
+    import struct
+
+    s = np.array([100, -100, 50], dtype=np.int16)
+    raw = mm.encode_wav(s, rate=8000)
+    fmt_chunk = raw[12:36]
+    data_chunk = raw[36:]
+    junk = struct.pack("<4sI", b"LIST", 6) + b"junk\x00\x00"
+    body = fmt_chunk + junk + data_chunk
+    rebuilt = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    rate, out = mm.decode_wav(rebuilt)
+    assert rate == 8000 and (out == s).all()
+
+
+def test_wav_rejects_stereo():
+    import struct
+
+    s = np.zeros(4, dtype=np.int16)
+    raw = bytearray(mm.encode_wav(s))
+    struct.pack_into("<H", raw, 22, 2)  # channels = 2
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bytes(raw))
+
+
+def test_dispatch_unknown_mime_raises():
+    with pytest.raises(NotImplementedError, match="image/png"):
+        mm.dispatch_decode(
+            pd.Series([b"\x89PNG"]), pd.Series(["image/png"])
+        )
+
+
+def test_synthesize_and_extract_features(spark):
+    df = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    media = mm.synthesize_media(df, "doc_id")
+    feats = mm.extract_features(media, "doc_id")
+    rows = {r.doc_id: list(r.features) for r in feats.collect()}
+    assert len(rows) == 50
+    for i in range(50):
+        f = rows[i]
+        if i % 2 == 0:
+            r, g, b = (i * 7) % 256, (i * 13) % 256, (i * 29) % 256
+            assert f[0] == r and f[1] == g and f[2] == b
+            assert abs(f[3]) < 1e-9  # solid color -> zero gray std
+            assert (f[6], f[7]) == (16.0, 16.0)
+        else:
+            amp = (i % 100) * 10 + 100
+            assert f[0] == 0.0          # balanced square wave
+            assert f[1] == float(amp)   # rms == amplitude
+            assert (f[2], f[3]) == (-float(amp), float(amp))
+            assert f[4] == 255.0        # zero crossings
+            assert f[7] == 8000.0
+
+
+def test_extract_features_legacy_stub(spark):
+    # single-argument decoders (the opaque-bytes stub) keep working
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    media = mm.attach_media(
+        df.withColumn("text", F.col("doc_id").cast("string")),
+        "text", "doc_id",
+    )
+    out = mm.extract_features(media, "doc_id", decoder=mm.decode_stub)
+    assert out.count() == 10
+    assert len(out.first().features) == mm.FEATURE_DIM

@@ -404,3 +404,15 @@ def test_dedup_keep_canonical(spark):
     )
     # clusters {0,1,2} -> keep 0; {5,6} -> keep 5; 3,4,7 untouched
     assert kept == [0, 3, 4, 5, 7]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """ADVICE r3: exhausting max_iterations must raise, never return
+    partially-converged (over-segmented) labels."""
+    edges = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [a for a, _ in edges],
+                      "id_b": [b for _, b in edges]})
+    )
+    with pytest.raises(RuntimeError, match="fixed point"):
+        dedup.connected_components(pairs, max_iterations=2)

@@ -212,3 +212,30 @@ def test_contains_sql_addsub_parity(spark, keys_df):
     sh_routed = {r.key: r.member for r in sh.contains(probes).collect()}
     assert sh_sql == sh_routed
     assert all(sh_sql[int(k)] for k in keys)
+
+
+def test_bucketed_layout_sidecar_validation(spark, keys_df, tmp_path):
+    """ADVICE r3: the packed layout is only decodable with write-time
+    parameters. The sidecar must validate (matching params pass,
+    mismatched capacity/num_shards/config raise) instead of silently
+    mis-extracting shard ids and tags."""
+    df, keys = keys_df
+    path = str(tmp_path / "bucketed_sidecar")
+    ShardedCuckooFilter.write_bucketed_keys(df, "key", 6000, 8, path, CFG)
+    assert (tmp_path / "bucketed_sidecar" / "_cuckoo_layout.json").exists()
+    bucketed = spark.read.parquet(path)
+    ok = ShardedCuckooFilter.build_bucketed(
+        bucketed, 6000, 8, CFG, path=path
+    )
+    assert ok.metrics().collect()[0]["failures"] == 0
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ShardedCuckooFilter.build_bucketed(bucketed, 6000, 16, CFG, path=path)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ShardedCuckooFilter.build_bucketed(
+            bucketed, 200_000, 8, CFG, path=path
+        )
+    from cuckoo_filter_spark.config import CuckooConfig as _CC
+    with pytest.raises(ValueError, match="layout mismatch"):
+        ShardedCuckooFilter.build_bucketed(
+            bucketed, 6000, 8, _CC(bits_per_tag=8, bucket_size=8), path=path
+        )
