@@ -572,3 +572,90 @@ def test_stream_sketch_window_misra_gries_trending(spark, tmp_path):
     assert list(zip(r.top_keys, r.top_cnts))[:2] == truth.most_common(2)
     assert truth[r.top_keys[2]] == r.top_cnts[2]
     assert r.n_rows == sum(truth.values())
+
+
+def test_stream_apply_ops_concurrent_producers(spark, tmp_path):
+    """VERDICT r3 item: two PRODUCERS feed one long-lived sharded
+    filter state — a union of two independent file-stream sources
+    (the Spark form of multiple IPC clients sharing one filter,
+    CuckooFilterIPC.cuh's ring buffer). With seq_col imposing the
+    global order, the final per-op outcomes equal a single-threaded
+    replay of the merged op log, regardless of which source carried
+    which op."""
+    import numpy as np
+    import pandas as pd
+
+    from cuckoo_filter_spark.core.cuckoo import CuckooFilter
+    from cuckoo_filter_spark.hashing import keys_to_unsigned, xxhash64_u64
+
+    rng = np.random.default_rng(59)
+    n = 600
+    # producer A: inserts (even seq); producer B: mixed ops (odd seq)
+    a_keys = rng.integers(0, 300, n).astype(np.int64)
+    b_keys = rng.integers(0, 300, n).astype(np.int64)
+    a_pdf = pd.DataFrame({
+        "key": a_keys, "op": "insert",
+        "seq": np.arange(n, dtype=np.int64) * 2,
+    })
+    b_ops = np.where(rng.random(n) < 0.5, "insert", "delete")
+    b_pdf = pd.DataFrame({
+        "key": b_keys, "op": b_ops,
+        "seq": np.arange(n, dtype=np.int64) * 2 + 1,
+    })
+    src_a = str(tmp_path / "prod_a")
+    src_b = str(tmp_path / "prod_b")
+    spark.createDataFrame(a_pdf).repartition(3).write.parquet(src_a)
+    spark.createDataFrame(b_pdf).repartition(2).write.parquet(src_b)
+
+    schema = "key long, op string, seq long"
+    stream = spark.readStream.schema(schema).parquet(src_a).unionByName(
+        spark.readStream.schema(schema).parquet(src_b)
+    )
+    num_shards = 4
+    out = sm.stream_apply_ops(
+        stream, "key", "op", 8192, num_shards, CFG, seq_col="seq"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("concurrent_ops_t")
+        .outputMode("append").trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "concckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("concurrent_ops_t").collect()
+    assert len(rows) == 2 * n
+    got = {}
+    for r in rows:
+        got.setdefault((r.shard, r.key, r.op), []).append(r.ok)
+
+    # serialized replay: per shard, apply the merged log in seq order
+    # against a single-node filter of the same per-shard geometry
+    import math
+
+    from cuckoo_filter_spark.operators.membership import OVERPROVISION
+
+    per_shard_cap = int(math.ceil(8192 / num_shards * OVERPROVISION))
+    merged = pd.concat([a_pdf, b_pdf]).sort_values("seq")
+    keys_u = keys_to_unsigned(merged["key"].to_numpy(np.int64))
+    shards = xxhash64_u64(keys_u, seed=42).view(np.int64) % num_shards
+    want = {}
+    filters = {s: CuckooFilter(per_shard_cap, CFG) for s in range(num_shards)}
+    for (k, op, s) in zip(
+        merged["key"].to_numpy(), merged["op"].to_numpy(), shards
+    ):
+        flt = filters[int(s)]
+        ku = keys_to_unsigned(np.array([k], dtype=np.int64))
+        ok = (
+            flt.insert_many(ku) if op == "insert" else flt.delete_many(ku)
+        )[0]
+        want.setdefault((int(s), int(k), op), []).append(bool(ok))
+
+    assert set(got) == set(want)
+    for key in want:
+        assert sorted(got[key]) == sorted(want[key]), key
+    # final occupancy also matches the replay
+    n_stream_net = sum(
+        (r.op == "insert" and r.ok) for r in rows
+    ) - sum((r.op == "delete" and r.ok) for r in rows)
+    n_replay_net = sum(f.occupied for f in filters.values())
+    assert n_stream_net == n_replay_net
