@@ -135,6 +135,36 @@ def main():
         cap_explain(nd),
     ))
 
+    cnts = filt.counts(keys)
+    sections.append((
+        "Routed counting query (round 4, GQF parity): the same "
+        "cogroup dataflow as routed contains — ONE Exchange of "
+        "8-byte keys to their owning shard, FlatMapCoGroupsInPandas "
+        "emits one row per shard with (keys, counts) list columns, "
+        "codegen'd explode recovers per-key rows. Exact stored "
+        "multiplicity, state never leaves executors.",
+        cap_explain(cnts),
+    ))
+
+    from cuckoo_filter_spark.operators.quantiles import (
+        exact_quantiles_grouped,
+    )
+
+    li2 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    gq = exact_quantiles_grouped(
+        li2, "l_returnflag", "l_extendedprice", [0.5], k=256
+    )
+    sections.append((
+        "Grouped exact quantiles (round 4, de-drivered): the "
+        "returned plan is a localCheckpoint scan of the groups x "
+        "quantiles result — the KLL partial pass, per-group merge + "
+        "bracket table (applyInPandas), and the candidate pass with "
+        "its JVM-side array_sort/element_at order-statistic finish "
+        "all ran distributed; the driver only orchestrated the "
+        "retry loop over miss counts.",
+        cap_explain(gq),
+    ))
+
     del_res, newf = filt.delete(keys.limit(1000))
     sections.append((
         "Sharded delete results (round 2): FlatMapCoGroupsInPandas "

@@ -75,17 +75,15 @@ def main():
     probes_path = f"{work}/kmer_probes_{n_keys}.parquet"
 
     t0 = time.time()
-    # over-generate 2% then cap at n_keys after dropping the rare
-    # string-collision duplicates (pack is injective on strings)
-    gen = (
-        spark.range(int(n_keys * 1.02), numPartitions=cpus * 2)
-        .select(
-            packed_kmer_expr(
-                kmer_string_expr(F.col("id"), seed=11), k=K
-            ).alias("key")
-        )
-        .dropDuplicates(["key"])
-        .limit(n_keys)
+    # hash-derived k-mer strings collide at ~n^2/2^43 (~0.003% of
+    # rows at 2^28) — keep them: a dedup + LIMIT would force a
+    # single-task GlobalLimit pass, and multiset inserts handle the
+    # handful of duplicates exactly like the reference's real k-mer
+    # multisets do
+    gen = spark.range(n_keys, numPartitions=cpus * 2).select(
+        packed_kmer_expr(
+            kmer_string_expr(F.col("id"), seed=11), k=K
+        ).alias("key")
     )
     gen.write.mode("overwrite").parquet(keys_path)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
