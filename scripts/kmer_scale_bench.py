@@ -166,6 +166,19 @@ def main():
     out["contains_fpr"] = round(
         max(0.0, (n_member - m["occupied"]) / max(n_probes - n_rows, 1)), 8
     )
+    # the negative population is drawn from the same 4^k packed-value
+    # space, so ~n/4^k of the "negatives" are true members of the
+    # positive set (value collisions, not filter errors). Report the
+    # filter's intrinsic FPR net of that, next to the 2*b*alpha/2^f
+    # bound the reference publishes.
+    collision_rate = n_rows / 4**K
+    out["true_key_collision_rate"] = round(collision_rate, 8)
+    out["contains_fpr_net_of_key_collisions"] = round(
+        max(0.0, out["contains_fpr"] - collision_rate), 8
+    )
+    out["fpr_bound"] = round(
+        2 * CFG.bucket_size * out["load_factor"] / 2**CFG.bits_per_tag, 8
+    )
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
