@@ -34,7 +34,10 @@ from bench import CFG, TARGET_LOAD, OVER, build_session, prefault_memory, reclai
 from cuckoo_filter_spark.operators.membership import ShardedCuckooFilter
 from cuckoo_filter_spark.sources.kmers import packed_kmer_expr
 
-K = 21
+# the reference sweeps k in {21, 31} (kmer_benchmark.cu:26-47);
+# the generator expression handles any k <= 31 (two xxhash64 words
+# supply 2 bits per position)
+K = int(os.environ.get("SPARK_GRAFT_KMER_K", "21"))
 
 
 def kmer_string_expr(id_col, seed: int):
@@ -180,9 +183,10 @@ def main():
         2 * CFG.bucket_size * out["load_factor"] / 2**CFG.bits_per_tag, 8
     )
 
+    name = "kmer_scale.json" if K == 21 else f"kmer_scale_k{K}.json"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH", "kmer_scale.json",
+        "BENCH", name,
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
