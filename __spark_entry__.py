@@ -926,6 +926,30 @@ def q_multimodal_real_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling + image resize (the remaining multimodal
+    pipeline ops): a deterministic RAWF video fixture (8 solid-color
+    frames, closed-form colors) per document, stride-sampled every
+    3rd frame (indices 0/3/6), nearest-neighbor resized 16x16 → 8x8,
+    then pushed through the REAL BMP decode + feature path. The
+    oracle recomputes each sampled frame's red-channel mean and the
+    post-resize width from the synthesis formula."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vids = multimodal.synthesize_video(docs, "doc_id", n_frames=8)
+    frames = multimodal.sample_frames(vids, "doc_id", every_n=3)
+    small = multimodal.resize_images(
+        frames, "doc_id", 8, 8, passthrough=("frame_idx",)
+    )
+    feats = multimodal.extract_features(
+        small, "doc_id", passthrough=("frame_idx",)
+    )
+    return feats.select(
+        "doc_id", "frame_idx",
+        F.round(F.element_at("features", 1)).cast("long").alias("feat_red"),
+        F.round(F.element_at("features", 7)).cast("long").alias("width"),
+    )
+
+
 def q_q1_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1034,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_vs_batch_build": q_stream_vs_batch_build,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_events_per_user": q_top_events_per_user,
         "events_json_extract": q_events_json_extract,
@@ -1364,6 +1389,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 255
                         END AS BIGINT) AS feat_b
             FROM documents
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id,
+                   CAST(f.fidx AS BIGINT) AS frame_idx,
+                   CAST((doc_id * 7 + f.fidx * 11) % 256 AS BIGINT)
+                       AS feat_red,
+                   CAST(8 AS BIGINT) AS width
+            FROM documents, (VALUES (0), (3), (6)) AS f(fidx)
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -139,6 +139,186 @@ def decode_wav(raw: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+# ---------------------------------------------------------------------------
+# image resize + raw multi-frame video container (codec-free)
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"RAWF"
+
+
+def resize_image(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, c) array — the
+    deterministic codec-free kernel (center-of-pixel mapping:
+    src = floor((i + 0.5) * in / out)), pure fancy indexing so the
+    whole batch stays vectorized."""
+    h, w = px.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h)
+                      .astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w)
+                      .astype(np.int64), w - 1)
+    return px[rows][:, cols]
+
+
+def encode_frames(frames: np.ndarray) -> bytes:
+    """Encode an (n, h, w, 3) uint8 RGB stack as the trivial
+    uncompressed RAWF container: magic + little-endian (n, h, w) +
+    raw frame bytes. The on-disk stand-in for a real video codec —
+    the Spark-side plumbing (binary column, per-frame explode,
+    stride sampling) is identical either way."""
+    n, h, w, c = frames.shape
+    if c != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_frames expects (n, h, w, 3) uint8")
+    return VIDEO_MAGIC + struct.pack("<III", n, h, w) + frames.tobytes()
+
+
+def decode_frames(raw: bytes) -> np.ndarray:
+    """Decode a RAWF payload → (n, h, w, 3) uint8."""
+    if raw[:4] != VIDEO_MAGIC:
+        raise ValueError("not a RAWF video payload")
+    n, h, w = struct.unpack_from("<III", raw, 4)
+    return np.frombuffer(
+        raw, dtype=np.uint8, count=n * h * w * 3, offset=16
+    ).reshape(n, h, w, 3)
+
+
+def resize_images(
+    media_df: DataFrame,
+    id_col: str,
+    out_h: int,
+    out_w: int,
+    batch_rows: int = 256,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """mapInPandas image resize: decode each ``image/bmp`` payload,
+    nearest-neighbor resize to (out_h, out_w), re-encode as BMP.
+    Non-image mimes pass through untouched (audio has no spatial
+    dims); output keeps the (id, *passthrough, media, media_meta)
+    media shape so the result feeds straight back into
+    :func:`extract_features`. Batches are re-chunked like
+    extract_features to bound peak decoded-pixel memory."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo: lo + batch_rows]
+                media = []
+                for raw, mime in zip(chunk["media"], chunk["__mime"]):
+                    raw = bytes(raw)
+                    if mime == "image/bmp":
+                        raw = encode_bmp(
+                            resize_image(decode_bmp(raw), out_h, out_w)
+                        )
+                    media.append(raw)
+                out = {id_col: chunk[id_col].to_numpy()}
+                for c in passthrough:
+                    out[c] = chunk[c].to_numpy()
+                out["media"] = media
+                out["__mime"] = chunk["__mime"].to_numpy()
+                yield pd.DataFrame(out)
+
+    extra = "".join(f"{c} long, " for c in passthrough)
+    out = media_df.select(
+        id_col, *passthrough, "media",
+        F.col("media_meta.mime").alias("__mime"),
+    ).mapInPandas(
+        run,
+        schema=f"{id_col} long, {extra}media binary, __mime string",
+    )
+    return out.select(
+        id_col, *passthrough, "media",
+        F.struct(
+            F.col("__mime").alias("mime"),
+            F.length("media").alias("n_bytes"),
+            F.lit("resized").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def sample_frames(
+    media_df: DataFrame,
+    id_col: str,
+    every_n: int = 1,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Explode RAWF video payloads into sampled frame rows — the
+    training-pipeline shape (video → stride-sampled frame images
+    ready for the image feature path). Emits one row per kept frame
+    (indices 0, every_n, 2*every_n, ...): (id, frame_idx,
+    media=BMP bytes, media_meta). Frame extraction happens inside
+    the Arrow batch; only the sampled frames are re-encoded and
+    shipped, so the per-task peak is one video's decoded stack."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo: lo + batch_rows]
+                ids, fidxs, media = [], [], []
+                for rid, raw in zip(
+                    chunk[id_col].to_numpy(), chunk["media"]
+                ):
+                    frames = decode_frames(bytes(raw))
+                    for fi in range(0, len(frames), every_n):
+                        ids.append(rid)
+                        fidxs.append(fi)
+                        media.append(encode_bmp(frames[fi]))
+                yield pd.DataFrame({
+                    id_col: np.asarray(ids, dtype=np.int64),
+                    "frame_idx": np.asarray(fidxs, dtype=np.int64),
+                    "media": media,
+                })
+
+    out = media_df.select(id_col, "media").mapInPandas(
+        run,
+        schema=f"{id_col} long, frame_idx long, media binary",
+    )
+    return out.select(
+        id_col, "frame_idx", "media",
+        F.struct(
+            F.lit("image/bmp").alias("mime"),
+            F.length("media").alias("n_bytes"),
+            F.lit("frame_sample").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def synthesize_video(
+    df: DataFrame, id_col: str, n_frames: int = 8, h: int = 16, w: int = 16
+) -> DataFrame:
+    """Deterministic RAWF video fixture per row: frame ``fi`` of row
+    ``id`` is solid color (r, g, b) = ((id*7 + fi*11) % 256,
+    (id*13 + fi*17) % 256, (id*29 + fi*23) % 256) — closed-form, so
+    a SQL oracle can recompute any sampled frame's statistics."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(np.int64)
+            media = []
+            for i in ids:
+                frames = np.zeros((n_frames, h, w, 3), dtype=np.uint8)
+                for fi in range(n_frames):
+                    frames[fi, :, :] = (
+                        (i * 7 + fi * 11) % 256,
+                        (i * 13 + fi * 17) % 256,
+                        (i * 29 + fi * 23) % 256,
+                    )
+                media.append(encode_frames(frames))
+            yield pd.DataFrame({id_col: ids, "media": media})
+
+    out = df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, media binary"
+    )
+    return out.select(
+        id_col, "media",
+        F.struct(
+            F.lit("video/x-raw-frames").alias("mime"),
+            F.length("media").alias("n_bytes"),
+            F.lit("synthetic").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
 def bmp_features(raw: bytes) -> np.ndarray:
     """FEATURE_DIM floats from a decoded BMP: per-channel means,
     grayscale std/min/max, width, height."""
@@ -220,20 +400,23 @@ def extract_features(
     id_col: str,
     decoder: Callable[..., np.ndarray] = dispatch_decode,
     batch_rows: int = 1024,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """mapInPandas feature extraction: (id, n_bytes, features
-    array<float>). Batches are re-chunked to bound peak memory —
-    media rows are large, so Arrow's default batch sizing by row
-    count would otherwise blow up on wide payloads. The decoder is
+    """mapInPandas feature extraction: (id, *passthrough, n_bytes,
+    features array<float>). Batches are re-chunked to bound peak
+    memory — media rows are large, so Arrow's default batch sizing by
+    row count would otherwise blow up on wide payloads. The decoder is
     called as ``decoder(payloads, mimes)`` (mime from
     ``media_meta.mime``; falls back to octet-stream when the frame
     has no metadata column); single-argument legacy decoders are
-    detected and called with payloads only."""
+    detected and called with payloads only. ``passthrough`` names
+    long-typed columns carried through unchanged (e.g. ``frame_idx``
+    from :func:`sample_frames`)."""
     import inspect
 
     wants_mime = len(inspect.signature(decoder).parameters) >= 2
     has_meta = "media_meta" in media_df.columns
-    cols = [id_col, "media"] + (
+    cols = [id_col, *passthrough, "media"] + (
         [F.col("media_meta.mime").alias("__mime")] if has_meta else []
     )
 
@@ -252,14 +435,17 @@ def extract_features(
                     feats = decoder(chunk["media"], mimes)
                 else:
                     feats = decoder(chunk["media"])
-                yield pd.DataFrame({
-                    id_col: chunk[id_col].to_numpy(),
-                    "n_bytes": chunk["media"].map(len).to_numpy(np.int64),
-                    "features": list(feats.astype(float)),
-                })
+                out = {id_col: chunk[id_col].to_numpy()}
+                for c in passthrough:
+                    out[c] = chunk[c].to_numpy()
+                out["n_bytes"] = chunk["media"].map(len).to_numpy(np.int64)
+                out["features"] = list(feats.astype(float))
+                yield pd.DataFrame(out)
 
+    extra = "".join(f"{c} long, " for c in passthrough)
     return media_df.select(*cols).mapInPandas(
-        run, schema=f"{id_col} long, n_bytes long, features array<double>"
+        run,
+        schema=f"{id_col} long, {extra}n_bytes long, features array<double>",
     )
 
 

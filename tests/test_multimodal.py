@@ -102,3 +102,68 @@ def test_extract_features_legacy_stub(spark):
     out = mm.extract_features(media, "doc_id", decoder=mm.decode_stub)
     assert out.count() == 10
     assert len(out.first().features) == mm.FEATURE_DIM
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_image_kernel():
+    # gradient image: nearest-neighbor with center-of-pixel mapping
+    # picks exactly src = floor((i+0.5)*in/out)
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    out = mm.resize_image(px, 8, 8)
+    assert out.shape == (8, 8, 3)
+    exp_idx = ((np.arange(8) + 0.5) * 2).astype(int)
+    assert (out == px[exp_idx][:, exp_idx]).all()
+    # identity resize is exact
+    assert (mm.resize_image(px, 16, 16) == px).all()
+    # upsample replicates source pixels
+    up = mm.resize_image(px[:2, :2], 4, 4)
+    assert (up[0, 0] == px[0, 0]).all() and (up[3, 3] == px[1, 1]).all()
+
+
+def test_frames_roundtrip():
+    rng = np.random.default_rng(47)
+    frames = rng.integers(0, 256, (5, 7, 9, 3), dtype=np.uint8)
+    raw = mm.encode_frames(frames)
+    out = mm.decode_frames(raw)
+    assert (out == frames).all()
+    with pytest.raises(ValueError):
+        mm.decode_frames(b"XXXX" + raw[4:])
+
+
+def test_sample_frames_and_resize(spark):
+    df = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    vids = mm.synthesize_video(df, "doc_id", n_frames=8)
+    frames = mm.sample_frames(vids, "doc_id", every_n=3)
+    rows = frames.select("doc_id", "frame_idx").collect()
+    # stride 3 over 8 frames keeps indices 0, 3, 6
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 3, 6] for v in by_doc.values())
+    assert len(by_doc) == 20
+
+    # resize the sampled frames and run the real decode path:
+    # solid-color frames keep channel means, width/height become 8
+    small = mm.resize_images(frames, "doc_id", 8, 8)
+    feats = mm.extract_features(small, "doc_id")
+    f = feats.first()
+    assert f.features[6] == 8.0 and f.features[7] == 8.0
+
+
+def test_extract_features_passthrough(spark):
+    df = spark.range(0, 6).select(F.col("id").alias("doc_id"))
+    vids = mm.synthesize_video(df, "doc_id", n_frames=4)
+    frames = mm.sample_frames(vids, "doc_id", every_n=2)
+    feats = mm.extract_features(
+        frames, "doc_id", passthrough=("frame_idx",)
+    )
+    got = {(r.doc_id, r.frame_idx): r.features for r in feats.collect()}
+    assert set(got) == {(d, fi) for d in range(6) for fi in (0, 2)}
+    for (d, fi), f in got.items():
+        assert f[0] == (d * 7 + fi * 11) % 256
+        assert f[1] == (d * 13 + fi * 17) % 256
+        assert f[2] == (d * 29 + fi * 23) % 256
