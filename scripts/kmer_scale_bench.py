@@ -183,6 +183,24 @@ def main():
         2 * CFG.bucket_size * out["load_factor"] / 2**CFG.bits_per_tag, 8
     )
 
+    # optional: the big-filter lane. When the stacked filter is too
+    # large to broadcast, contains() routes probe keys to their
+    # owning shard (ONE Exchange of 8-byte keys + cogroup against
+    # resident shard state) — measure it at the same probe volume so
+    # the oversize fallback has a genome-regime number too.
+    if os.environ.get("SPARK_GRAFT_KMER_ROUTED", "0") == "1":
+        best = None
+        for _ in range(reps):
+            reclaim(spark)
+            t0 = time.time()
+            res = filt.contains(probes)
+            n_member_r = res.filter(F.col("member")).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out["routed_contains_s"] = round(best, 2)
+        out["routed_queries_per_sec"] = round(n_probes / best)
+        out["routed_member_agrees"] = bool(n_member_r == n_member)
+
     name = "kmer_scale.json" if K == 21 else f"kmer_scale_k{K}.json"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

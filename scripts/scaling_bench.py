@@ -169,6 +169,13 @@ def _kmer_regime_block(d: dict, fname: str) -> list[str]:
         f"| − true key collisions (n/4^{d['k']} = "
         f"{d.get('true_key_collision_rate')})* | **{fpr_net} net** |",
         f"| FPR bound 2bα/2^f | {bound} — **{verdict}** |",
+        *([
+            f"| routed contains (big-filter lane, one key Exchange + "
+            f"cogroup) | {d['routed_contains_s']} s → "
+            f"**{d['routed_queries_per_sec']:,} probes/s**, answers "
+            f"{'AGREE' if d.get('routed_member_agrees') else 'DISAGREE'}"
+            f" with the broadcast lane |",
+        ] if "routed_contains_s" in d else []),
         "",
         f"*At k={d['k']} the packed key space is 4^{d['k']}, so a",
         "disjoint-seed negative population truly contains ~n/4^k",
