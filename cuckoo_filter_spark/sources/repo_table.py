@@ -78,3 +78,21 @@ def repo_files_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         content_key_expr(F.col("text")).alias("key"),
         F.col("doc_id"),
     )
+
+
+def write_partitioned_repo_table(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ("lang",)
+) -> None:
+    """Persist the repo table hive-partitioned (default by ``lang``)
+    — the Iceberg-style identity-partitioned layout. Reads that
+    filter on a partition column then prune at plan time (the scan's
+    ``PartitionFilters``), so a per-language pass over a 100 TB
+    corpus touches only that language's files; see
+    tests/test_partition_pruning.py for the executed-plan assertion."""
+    df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+
+
+def read_repo_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a (possibly partitioned) repo table written by
+    :func:`write_partitioned_repo_table`."""
+    return spark.read.parquet(path)
