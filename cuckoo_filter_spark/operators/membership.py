@@ -55,6 +55,13 @@ from cuckoo_filter_spark.hashing import candidate_exprs, keys_to_unsigned
 #: multi-GPU layer (``CuckooFilterMultiGPU.cuh:337``).
 OVERPROVISION = 1.02
 
+#: routed-lane output rows carry at most this many keys per Arrow
+#: list: one row per shard is fine at 10^5 keys/shard, but at genome
+#: scale (10^7+ keys/shard) a single multi-megaword array row
+#: stresses the JVM GC (GCLocker retries observed at 2^28 slots x 2n
+#: probes) — chunked rows explode to the same relation
+ROUTED_CHUNK_ROWS = 1 << 20
+
 _SHARD_SCHEMA = StructType([
     StructField("shard_id", LongType()),
     StructField("blob", BinaryType()),
@@ -763,6 +770,8 @@ class ShardedCuckooFilter:
             StructField("__res", ArrayType(res_spark_type)),
         ])
 
+        chunk_rows = ROUTED_CHUNK_ROWS
+
         def probe(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if len(left) == 0:
                 # dtype=object, NOT the float64 pandas defaults for
@@ -785,9 +794,11 @@ class ShardedCuckooFilter:
                     res = getattr(flt, op + "_many")(
                         _keys_from_pdf(left, key_col)
                     )
+            keys = left[key_col].to_numpy(np.int64, copy=False)
+            bounds = range(0, len(keys), chunk_rows)
             return pd.DataFrame({
-                "__keys": [left[key_col].to_numpy(np.int64, copy=False)],
-                "__res": [res],
+                "__keys": [keys[lo: lo + chunk_rows] for lo in bounds],
+                "__res": [res[lo: lo + chunk_rows] for lo in bounds],
             })
 
         routed = queries.select(key_col)

@@ -310,3 +310,19 @@ def test_broadcast_guard_raises_and_falls_back(spark, repo_df):
     assert got == want
     res, _ = sharded.delete_broadcast(probes.limit(50))
     assert res.filter(F.col("ok")).count() == 50
+
+
+def test_routed_chunked_output_rows(spark, repo_df, monkeypatch):
+    """At genome scale one list row per shard becomes a multi-
+    megaword JVM allocation; the routed lane must chunk its output
+    rows (ROUTED_CHUNK_ROWS) without changing the exploded relation.
+    Shrink the cap so every shard spans several chunks."""
+    from cuckoo_filter_spark.operators import membership as mem
+
+    monkeypatch.setattr(mem, "ROUTED_CHUNK_ROWS", 257)
+    sharded = ShardedCuckooFilter.build(repo_df, "key", CAPACITY, 4, CFG)
+    probes = repo_df.select("key")
+    res = sharded.contains(probes)
+    # one output row per probe key, all members (zero FN)
+    assert res.count() == N_ROWS
+    assert res.filter(~F.col("member")).count() == 0
