@@ -201,6 +201,25 @@ def main():
         out["routed_queries_per_sec"] = round(n_probes / best)
         out["routed_member_agrees"] = bool(n_member_r == n_member)
 
+    # optional: genome-regime deletes (the reference's third timed
+    # op at 2^24..2^28, benchmark_common.cuh sweep). Reference
+    # protocol: delete every inserted key, outcomes stay in kernel
+    # memory, only the scalar success count returns (per_key=False).
+    # One timed pass — delete is a functional state update, so each
+    # rep would need a rebuilt filter.
+    if os.environ.get("SPARK_GRAFT_KMER_DELETE", "0") == "1":
+        reclaim(spark)
+        t0 = time.time()
+        _, after = filt.delete(keys.select("key"), per_key=False)
+        after = after.persist()
+        m2 = after.metrics().collect()[0]
+        n_ok = after.delete_success_count()
+        dt = time.time() - t0
+        out["delete_s"] = round(dt, 2)
+        out["deletes_per_sec"] = round(n_rows / dt)
+        out["delete_success_rate"] = round(n_ok / n_rows, 6)
+        out["occupied_after_delete"] = int(m2["occupied"])
+
     name = "kmer_scale.json" if K == 21 else f"kmer_scale_k{K}.json"
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

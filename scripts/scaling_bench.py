@@ -176,6 +176,13 @@ def _kmer_regime_block(d: dict, fname: str) -> list[str]:
             f"{'AGREE' if d.get('routed_member_agrees') else 'DISAGREE'}"
             f" with the broadcast lane |",
         ] if "routed_contains_s" in d else []),
+        *([
+            f"| delete every key (reference protocol, per_key=False) "
+            f"| {d['delete_s']} s → **{d['deletes_per_sec']:,} "
+            f"deletes/s**, success {d['delete_success_rate']}, "
+            f"occupancy after {d['occupied_after_delete']} |",
+        ] if "delete_s" in d else []),
+        *([f"", f"_{d['protocol']}._"] if "protocol" in d else []),
         "",
         f"*At k={d['k']} the packed key space is 4^{d['k']}, so a",
         "disjoint-seed negative population truly contains ~n/4^k",
