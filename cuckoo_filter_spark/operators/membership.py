@@ -346,6 +346,47 @@ def shard_expr(key_col: str, num_shards: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_shards)).cast("long")
 
 
+def _check_broadcast_size(flt, op: str) -> bool:
+    """Shared broadcast-lane size guard for the sharded filter
+    classes. Collecting + broadcasting every shard blob only makes
+    sense while the whole serialized filter fits the driver and
+    executors comfortably; past ``flt.max_broadcast_bytes`` the
+    caller must take the shard-routed lane instead (state stays on
+    executors). Returns True when the broadcast may proceed; on
+    oversize either warns and returns False (``on_oversize_broadcast
+    == "fallback"``) or raises (``"raise"``). Caches the size
+    aggregate on the instance (shards are immutable — deletes return
+    a NEW filter)."""
+    if not flt.shards.is_cached:
+        # the size aggregate materializes the shard state; cache it
+        # so the broadcast collect (or the routed fallback) reads the
+        # built filter instead of rebuilding it
+        flt.persist()
+    size = flt.total_blob_bytes()
+    if size <= flt.max_broadcast_bytes:
+        return True
+    if flt.on_oversize_broadcast == "raise":
+        raise ValueError(
+            f"{op}: filter state is {size >> 20} MiB serialized, over "
+            f"the {flt.max_broadcast_bytes >> 20} MiB broadcast "
+            "guard — use the shard-routed op (state stays on "
+            "executors), or raise max_broadcast_bytes if the cluster "
+            "can take it"
+        )
+    import warnings
+
+    warnings.warn(
+        f"{op}: filter state is {size >> 20} MiB serialized, over the "
+        f"{flt.max_broadcast_bytes >> 20} MiB broadcast guard; "
+        "falling back to the shard-routed lane (set "
+        "on_oversize_broadcast='raise' or raise max_broadcast_bytes "
+        "to override)",
+        RuntimeWarning,
+        stacklevel=4,
+    )
+    return False
+
+
 @dataclass
 class ShardedCuckooFilter:
     """A filter kept as a DataFrame of disjoint key-sharded blobs.
@@ -712,34 +753,7 @@ class ShardedCuckooFilter:
         shipped)."""
         if self._stacked is not None or self._del_state is not None:
             return True
-        if not self.shards.is_cached:
-            # the size aggregate materializes the shard state; cache
-            # it so the broadcast collect (or the routed fallback)
-            # reads the built filter instead of rebuilding it
-            self.persist()
-        size = self.total_blob_bytes()
-        if size <= self.max_broadcast_bytes:
-            return True
-        if self.on_oversize_broadcast == "raise":
-            raise ValueError(
-                f"{op}: filter state is {size >> 20} MiB serialized, over "
-                f"the {self.max_broadcast_bytes >> 20} MiB broadcast "
-                "guard — use the shard-routed op (state stays on "
-                "executors), or raise max_broadcast_bytes if the cluster "
-                "can take it"
-            )
-        import warnings
-
-        warnings.warn(
-            f"{op}: filter state is {size >> 20} MiB serialized, over the "
-            f"{self.max_broadcast_bytes >> 20} MiB broadcast guard; "
-            "falling back to the shard-routed lane (set "
-            "on_oversize_broadcast='raise' or raise max_broadcast_bytes "
-            "to override)",
-            RuntimeWarning,
-            stacklevel=3,
-        )
-        return False
+        return _check_broadcast_size(self, op)
 
     # -- routed batch ops -------------------------------------------------
 
@@ -1347,6 +1361,37 @@ class ShardedOffsetFilter:
     shards: DataFrame
     num_shards: int
     key_col: str = "key"
+    #: broadcast-lane size guard — same contract as
+    #: :attr:`ShardedCuckooFilter.max_broadcast_bytes`: past this
+    #: many serialized blob bytes, :meth:`contains_broadcast` falls
+    #: back to the shard-routed :meth:`contains` (or raises, per
+    #: ``on_oversize_broadcast``) instead of collecting every shard
+    #: blob onto the driver.
+    max_broadcast_bytes: int = 512 << 20
+    #: "fallback" (default) routes the op instead; "raise" errors.
+    on_oversize_broadcast: str = "fallback"
+    _blob_bytes: object = None  # cached total blob bytes (size guard)
+
+    def persist(self) -> "ShardedOffsetFilter":
+        self.shards = self.shards.persist()
+        return self
+
+    def total_blob_bytes(self) -> int:
+        """Total serialized filter bytes across shards (one cheap
+        aggregate; cached — shards are immutable)."""
+        if self._blob_bytes is None:
+            object.__setattr__(
+                self, "_blob_bytes",
+                int(
+                    self.shards.agg(
+                        F.sum(F.length("blob")).alias("b")
+                    ).collect()[0]["b"] or 0
+                ),
+            )
+        return self._blob_bytes
+
+    def _broadcast_guard(self, op: str) -> bool:
+        return _check_broadcast_size(self, op)
 
     @staticmethod
     def build(
@@ -1452,8 +1497,19 @@ class ShardedOffsetFilter:
         the right shard locally, mirroring
         :meth:`ShardedCuckooFilter.contains_broadcast`. Use when the
         probe stream dwarfs the filter; the routed :meth:`contains`
-        is the path when the filter dwarfs executor memory."""
+        is the path when the filter dwarfs executor memory. Guarded
+        by :attr:`max_broadcast_bytes` exactly like the main filter:
+        oversized state falls back to the routed lane (identical
+        answers) or raises, per ``on_oversize_broadcast``."""
         from cuckoo_filter_spark.core.offset import OffsetCuckooFilter
+
+        if not self._broadcast_guard("contains_broadcast"):
+            # routed fallback with the broadcast lane's output shape
+            # (all query columns kept + out_col): probe the distinct
+            # keys, join the answers back on
+            probes = queries.select(self.key_col).distinct()
+            res = self.contains(probes, out_col)
+            return queries.join(res, self.key_col)
 
         spark = queries.sparkSession
         key_col = self.key_col

@@ -13,8 +13,10 @@ only the narrowed slice:
 2. **candidate pass**: ONE scan counts values below each bracket
    and collects the values inside it (≈ 2·slack·ε·n rows per
    quantile — pick the sketch's ``k`` so ε·n fits comfortably in
-   driver memory; ε shrinks as O(1/k)); the exact order statistic
-   is then read off the sorted candidates.
+   one task's memory; ε shrinks as O(1/k)); the exact order
+   statistic is read off JVM-side (``array_sort`` +
+   ``element_at`` over the agg row) — only one scalar per
+   requested quantile ever reaches the driver.
 
 If a bracket misses (sketch error beyond the slack — possible but
 exponentially unlikely), the pass retries with the slack doubled.
@@ -62,9 +64,13 @@ def exact_quantiles(
         if not pending:
             break
         # ONE scan resolves every pending quantile: per-q below-count
-        # and in-bracket candidate list in a single aggregate
-        brackets = {}
-        exprs = []
+        # and in-bracket candidate list in a single aggregate. The
+        # order-statistic selection happens JVM-side on the agg row
+        # (array_sort + element_at) so the candidate lists never
+        # leave the executors — the driver collects one nullable
+        # scalar per quantile (null = bracket miss).
+        agg_exprs = []
+        fin_exprs = []
         for i, (q, s) in enumerate(pending.items()):
             # open the bracket at the boundaries: the sketch's
             # extreme quantiles are not guaranteed to be the exact
@@ -72,24 +78,38 @@ def exact_quantiles(
             ql, qh = q - s * eps, q + s * eps
             lo = float("-inf") if ql <= 0.0 else sk.quantile(ql)
             hi = float("inf") if qh >= 1.0 else sk.quantile(qh)
-            brackets[q] = (lo, hi)
-            exprs.append(
+            agg_exprs.append(
                 F.sum((F.col("v") < lo).cast("long")).alias(f"below{i}")
             )
-            exprs.append(
-                F.collect_list(
-                    F.when((F.col("v") >= lo) & (F.col("v") <= hi),
-                           F.col("v"))
+            agg_exprs.append(
+                F.array_sort(
+                    F.collect_list(
+                        F.when((F.col("v") >= lo) & (F.col("v") <= hi),
+                               F.col("v"))
+                    )
                 ).alias(f"cand{i}")
             )
-        row = vals.agg(*exprs).collect()[0]
+            idx = max(0, int(np.ceil(q * n)) - 1)
+            below_c = F.coalesce(F.col(f"below{i}"), F.lit(0))
+            hit = (below_c <= idx) & (
+                F.lit(idx) < below_c + F.size(f"cand{i}")
+            )
+            fin_exprs.append(
+                F.when(
+                    hit,
+                    # element_at is 1-based
+                    F.element_at(
+                        F.col(f"cand{i}"),
+                        (F.lit(idx) - below_c + 1).cast("int"),
+                    ),
+                ).alias(f"val{i}")
+            )
+        row = vals.agg(*agg_exprs).select(*fin_exprs).collect()[0]
         still = {}
         for i, (q, s) in enumerate(pending.items()):
-            idx = max(0, int(np.ceil(q * n)) - 1)
-            below = int(row[f"below{i}"] or 0)
-            cand = sorted(row[f"cand{i}"])
-            if below <= idx < below + len(cand):
-                out[q] = cand[idx - below]
+            v = row[f"val{i}"]
+            if v is not None:
+                out[q] = v
             else:
                 still[q] = s * 2.0  # bracket missed; widen and retry
         pending = still

@@ -149,6 +149,57 @@ def test_sharded_offset_contains_broadcast(spark):
     filt.shards.unpersist()
 
 
+def test_sharded_offset_broadcast_guard(spark):
+    """VERDICT r4 task 1: guard parity with ShardedCuckooFilter —
+    an oversized offset filter must not be silently collected and
+    broadcast. raise mode errors; fallback mode warns and answers
+    bit-identically through the routed lane (per-key join, not just
+    aggregate counts)."""
+    import warnings
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from cuckoo_filter_spark.operators.membership import ShardedOffsetFilter
+
+    keys = _keys(20_000).view(np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"key": keys}))
+    filt = ShardedOffsetFilter.build(df, "key", 30_000, 8)
+    probes = df.select("key").distinct()
+    routed = filt.contains(probes, "routed").persist()
+
+    object.__setattr__(filt, "max_broadcast_bytes", 1024)  # force trip
+    object.__setattr__(filt, "on_oversize_broadcast", "raise")
+    with pytest.raises(ValueError, match="broadcast guard"):
+        filt.contains_broadcast(probes).collect()
+
+    object.__setattr__(filt, "on_oversize_broadcast", "fallback")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fell_back = filt.contains_broadcast(probes).persist()
+        fell_back.count()
+        assert any("broadcast guard" in str(x.message) for x in w)
+    # per-key agreement: zero mismatched (key, member) rows either way
+    mism = (
+        fell_back.join(routed, "key")
+        .filter(F.col("member") != F.col("routed"))
+        .count()
+    )
+    assert mism == 0
+    assert fell_back.count() == routed.count()
+
+    # an in-budget filter still takes the true broadcast lane
+    object.__setattr__(filt, "max_broadcast_bytes", 512 << 20)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bc = filt.contains_broadcast(probes)
+        assert bc.filter(~F.col("member")).count() == 0
+        assert not any("broadcast guard" in str(x.message) for x in w)
+    fell_back.unpersist()
+    routed.unpersist()
+    filt.shards.unpersist()
+
+
 def test_sharded_offset_delete(spark):
     """delete-then-requery parity for the distributed Offset path:
     deleted keys vanish, survivors all remain (reference deleteMany
