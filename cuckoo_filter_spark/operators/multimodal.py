@@ -181,6 +181,22 @@ def decode_frames(raw: bytes) -> np.ndarray:
     ).reshape(n, h, w, 3)
 
 
+def _field_ddl(df: DataFrame, cols) -> list[str]:
+    """DDL fragments for existing columns of ``df``, preserving their
+    actual Spark types — passthrough columns are not long-only. Raises
+    early (with the available names) on a column the frame lacks."""
+    by_name = {f.name: f for f in df.schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"passthrough column(s) {missing} not in frame; have "
+            f"{sorted(by_name)}"
+        )
+    return [
+        f"`{c}` {by_name[c].dataType.simpleString()}" for c in cols
+    ]
+
+
 def resize_images(
     media_df: DataFrame,
     id_col: str,
@@ -194,8 +210,9 @@ def resize_images(
     Non-image mimes pass through untouched (audio has no spatial
     dims); output keeps the (id, *passthrough, media, media_meta)
     media shape so the result feeds straight back into
-    :func:`extract_features`. Batches are re-chunked like
-    extract_features to bound peak decoded-pixel memory."""
+    :func:`extract_features`. ``passthrough`` columns keep their
+    input types. Batches are re-chunked like extract_features to
+    bound peak decoded-pixel memory."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -216,13 +233,16 @@ def resize_images(
                 out["__mime"] = chunk["__mime"].to_numpy()
                 yield pd.DataFrame(out)
 
-    extra = "".join(f"{c} long, " for c in passthrough)
+    extra = "".join(
+        f"{d}, " for d in _field_ddl(media_df, passthrough)
+    )
+    (id_ddl,) = _field_ddl(media_df, (id_col,))
     out = media_df.select(
         id_col, *passthrough, "media",
         F.col("media_meta.mime").alias("__mime"),
     ).mapInPandas(
         run,
-        schema=f"{id_col} long, {extra}media binary, __mime string",
+        schema=f"{id_ddl}, {extra}media binary, __mime string",
     )
     return out.select(
         id_col, *passthrough, "media",
@@ -410,8 +430,8 @@ def extract_features(
     ``media_meta.mime``; falls back to octet-stream when the frame
     has no metadata column); single-argument legacy decoders are
     detected and called with payloads only. ``passthrough`` names
-    long-typed columns carried through unchanged (e.g. ``frame_idx``
-    from :func:`sample_frames`)."""
+    columns carried through unchanged, keeping their input types
+    (e.g. ``frame_idx`` from :func:`sample_frames`)."""
     import inspect
 
     wants_mime = len(inspect.signature(decoder).parameters) >= 2
@@ -442,10 +462,13 @@ def extract_features(
                 out["features"] = list(feats.astype(float))
                 yield pd.DataFrame(out)
 
-    extra = "".join(f"{c} long, " for c in passthrough)
+    extra = "".join(
+        f"{d}, " for d in _field_ddl(media_df, passthrough)
+    )
+    (id_ddl,) = _field_ddl(media_df, (id_col,))
     return media_df.select(*cols).mapInPandas(
         run,
-        schema=f"{id_col} long, {extra}n_bytes long, features array<double>",
+        schema=f"{id_ddl}, {extra}n_bytes long, features array<double>",
     )
 
 

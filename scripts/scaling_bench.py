@@ -182,6 +182,13 @@ def _kmer_regime_block(d: dict, fname: str) -> list[str]:
             f"deletes/s**, success {d['delete_success_rate']}, "
             f"occupancy after {d['occupied_after_delete']} |",
         ] if "delete_s" in d else []),
+        *([
+            f"| binary k-mer ingest (loadKmerFile layout, "
+            f"{d.get('binary_files')} files) | {d['binary_ingest_s']} s → "
+            f"**{d['binary_keys_per_sec']:,} keys/s**, key multiset "
+            f"{'MATCHES' if d.get('binary_matches_synthesized') else 'DIFFERS FROM'}"
+            f" the synthesized parquet (count + xor-of-hashes) |",
+        ] if "binary_ingest_s" in d else []),
         *([f"", f"_{d['protocol']}._"] if "protocol" in d else []),
         "",
         f"*At k={d['k']} the packed key space is 4^{d['k']}, so a",
@@ -190,6 +197,57 @@ def _kmer_regime_block(d: dict, fname: str) -> list[str]:
         "errors; the filter's intrinsic FPR is the net figure. 512 MiB",
         "of filter state streams through the same broadcast-probe lane",
         "(guard raised for the run).",
+    ]
+
+
+def streaming_section() -> list[str]:
+    """§3c: micro-batch serving throughput from
+    scripts/streaming_bench.py (BENCH/streaming.json — per-family
+    best over BENCH/streaming_runs.jsonl). The streaming operators
+    are the IPC-analog surface (CuckooFilterIPC.cuh:190-445): filter
+    state lives in applyInPandasWithState group state, every
+    micro-batch applies its ops."""
+    path = os.path.join(REPO, "BENCH", "streaming.json")
+    if not os.path.exists(path):
+        return []
+    d = json.load(open(path))
+    total = d["n_batches"] * d["rows_per_batch"]
+    return [
+        "",
+        "## 3c. Streaming serving throughput (IPC-analog surface)",
+        "",
+        "Long-lived sharded filter state in `applyInPandasWithState`",
+        "group state; a file-source stream delivers one micro-batch",
+        "per pre-written file (`maxFilesPerTrigger=1`), drained with",
+        "`trigger(availableNow=True)` into a `foreachBatch` sink that",
+        "verifies per-op success tallies. Sustained = total ops /",
+        "drain wall (includes checkpointing + state serde); best",
+        "batch = the warm steady-state ceiling from the engine's",
+        "progress metrics. `scripts/streaming_bench.py`,",
+        "BENCH/streaming.json:",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| workload | {d['n_batches']} micro-batches × "
+        f"{d['rows_per_batch']:,} rows, {d['num_shards']} shards, "
+        f"c{d['cpus']} |",
+        f"| stream_build_sharded sustained | {d['build_wall_s']} s → "
+        f"**{d['build_ops_per_sec']:,} inserts/s** (best batch "
+        f"{d['build_best_batch_ops_per_sec']:,}/s) |",
+        f"| novelty gating (fresh rate, distinct keys) | "
+        f"{d['build_fresh_rate']} (non-fresh = filter FPs, ~2bα/2^f) |",
+        f"| stream_apply_ops sustained (90/10 insert/delete) | "
+        f"{d['apply_wall_s']} s → **{d['apply_ops_per_sec']:,} ops/s** "
+        f"(best batch {d['apply_best_batch_ops_per_sec']:,}/s) |",
+        f"| insert / delete success | {d['apply_insert_ok_rate']} / "
+        f"{d['apply_delete_ok_rate']} (deletes target keys inserted "
+        f"by the previous micro-batch) |",
+        *([f"", f"_{d['protocol']}._"] if "protocol" in d else []),
+        "",
+        f"Total streamed: {total:,} ops per surface. State stays on",
+        "executors and is engine-checkpointed — on a real cluster the",
+        "same query scales by shard count, and the restart-from-",
+        "checkpoint test (tests/test_streaming.py) pins recovery.",
     ]
 
 
@@ -406,6 +464,7 @@ def main():
         "",
         *t8,
         *kmer_regime_section(),
+        *streaming_section(),
         "",
         "## Correctness at every size",
         "",

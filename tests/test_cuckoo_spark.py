@@ -326,3 +326,17 @@ def test_routed_chunked_output_rows(spark, repo_df, monkeypatch):
     # one output row per probe key, all members (zero FN)
     assert res.count() == N_ROWS
     assert res.filter(~F.col("member")).count() == 0
+
+    # ADVICE r4: aggregate counts can hide a chunking bug that
+    # mis-keys rows or swaps an equal number of FP/FN answers —
+    # assert PER-KEY agreement with the broadcast lane over a mixed
+    # positive/negative probe set (negatives from a disjoint seed)
+    mixed = probes.unionByName(
+        synthetic_repo_files(
+            repo_df.sparkSession, 5_000, num_partitions=4, seed=4242
+        ).select("key")
+    ).distinct()
+    routed = sharded.contains(mixed).select("key", "member")
+    bcast = sharded.contains_broadcast(mixed, "key").select("key", "member")
+    assert routed.exceptAll(bcast).count() == 0
+    assert bcast.exceptAll(routed).count() == 0

@@ -167,3 +167,39 @@ def test_extract_features_passthrough(spark):
         assert f[0] == (d * 7 + fi * 11) % 256
         assert f[1] == (d * 13 + fi * 17) % 256
         assert f[2] == (d * 29 + fi * 23) % 256
+
+
+def test_passthrough_keeps_non_long_types(spark):
+    """ADVICE r4: passthrough schema must derive from the input frame
+    — a string or double passthrough column rides through both
+    extract_features and resize_images with its type intact (the
+    old hardcoded-long schema failed Arrow conversion here)."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    df = spark.range(0, 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("tag"),
+        (F.col("id") * 0.5).alias("weight"),
+    )
+    media = mm.synthesize_media(df, "doc_id").join(df, "doc_id")
+
+    feats = mm.extract_features(
+        media, "doc_id", passthrough=("tag", "weight")
+    )
+    sch = dict((f.name, f.dataType) for f in feats.schema.fields)
+    assert isinstance(sch["tag"], StringType)
+    assert isinstance(sch["weight"], DoubleType)
+    rows = {r.doc_id: r for r in feats.collect()}
+    assert rows[3].tag == "doc-3" and rows[3].weight == 1.5
+
+    resized = mm.resize_images(
+        media, "doc_id", 8, 8, passthrough=("tag", "weight")
+    )
+    sch = dict((f.name, f.dataType) for f in resized.schema.fields)
+    assert isinstance(sch["tag"], StringType)
+    assert isinstance(sch["weight"], DoubleType)
+    r = {x.doc_id: x for x in resized.collect()}[5]
+    assert r.tag == "doc-5" and r.weight == 2.5
+
+    with pytest.raises(ValueError, match="not in frame"):
+        mm.extract_features(media, "doc_id", passthrough=("nope",))

@@ -28,6 +28,14 @@ def test_lang_filter_prunes_partitions(spark, tmp_path):
     # pushes it as a (post-listing) data filter
     pf = plan[plan.index("PartitionFilters"):].splitlines()[0]
     assert "lang" in pf
+    # ADVICE r4: pin the OTHER half of the claim too — DataFilters
+    # must be empty (a regression that duplicates the predicate
+    # post-scan would otherwise pass)
+    import re as _re
+
+    dm = _re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert dm is not None
+    assert dm.group(1).strip() == "", f"DataFilters not empty: {dm.group(1)}"
 
     # pruned read returns exactly the rows the unpartitioned filter
     # would, and the pruned scan lists only the one lang directory
