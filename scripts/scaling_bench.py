@@ -493,7 +493,9 @@ def main():
         "runs; table above is per-proc-count best, efficiencies are "
         "best same-invocation pairs).",
         "",
-        f"_Total scaling-bench wall time: {wall:.0f}s._",
+        ("_Regenerated from history (merge-only); timings are best-of-recorded-runs._"
+         if merge_only else
+         f"_Total scaling-bench wall time: {wall:.0f}s._"),
     ]
     notes = os.path.join(REPO, "BENCH", "NOTES.md")
     if os.path.exists(notes):
