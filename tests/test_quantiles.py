@@ -33,6 +33,24 @@ def test_exact_quantiles_match_order_statistics(spark, dist):
         assert got[q] == _disc(sv, q), (dist, q)
 
 
+def test_exact_quantiles_large_candidate_volume(spark):
+    """A coarse sketch over a big input puts ~25% of ALL rows inside
+    each quantile's bracket (k=64 -> eps=1/16, slack=4 -> bracket
+    half-width 0.25 in rank space). The candidate lists — ~10^5
+    doubles per quantile — are sorted and indexed JVM-side; the
+    driver receives one scalar per quantile, and every answer is
+    still the exact order statistic."""
+    rng = np.random.default_rng(17)
+    n = 400_000
+    v = rng.standard_normal(n)
+    df = spark.createDataFrame(pd.DataFrame({"x": v})).repartition(16)
+    qs = [0.1, 0.5, 0.9]
+    got = exact_quantiles(df, "x", qs, k=64, slack=4.0)
+    sv = np.sort(v)
+    for q in qs:
+        assert got[q] == _disc(sv, q), q
+
+
 def test_exact_quantiles_tiny_sketch_retries(spark):
     """An undersized sketch (coarse brackets) still converges via the
     widening retry and stays exact."""
