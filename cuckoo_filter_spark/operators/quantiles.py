@@ -41,6 +41,60 @@ from cuckoo_filter_spark.operators.sketch_agg import aggregate_sketch
 _EPS_C = 4.0
 
 
+def _candidate_pass_df(
+    vals: DataFrame,
+    pending: dict[float, float],
+    sk: KLLSketch,
+    n: int,
+    eps: float,
+) -> DataFrame:
+    """The flat path's single candidate-pass job as a DataFrame:
+    per pending quantile, a below-bracket count plus the in-bracket
+    candidate list, finished JVM-side (``array_sort`` +
+    ``element_at`` over the one agg row) so the result row carries
+    ONE nullable scalar per quantile — null means the bracket
+    missed and the caller widens + retries. Exposed separately so
+    the executed plan can be audited (scripts/dump_plans.py §13):
+    partial agg → single-partition Exchange → final agg → scalar
+    Project; candidate lists never leave the executors."""
+    agg_exprs = []
+    fin_exprs = []
+    for i, (q, s) in enumerate(pending.items()):
+        # open the bracket at the boundaries: the sketch's
+        # extreme quantiles are not guaranteed to be the exact
+        # min/max (compaction may drop extremes)
+        ql, qh = q - s * eps, q + s * eps
+        lo = float("-inf") if ql <= 0.0 else sk.quantile(ql)
+        hi = float("inf") if qh >= 1.0 else sk.quantile(qh)
+        agg_exprs.append(
+            F.sum((F.col("v") < lo).cast("long")).alias(f"below{i}")
+        )
+        agg_exprs.append(
+            F.array_sort(
+                F.collect_list(
+                    F.when((F.col("v") >= lo) & (F.col("v") <= hi),
+                           F.col("v"))
+                )
+            ).alias(f"cand{i}")
+        )
+        idx = max(0, int(np.ceil(q * n)) - 1)
+        below_c = F.coalesce(F.col(f"below{i}"), F.lit(0))
+        hit = (below_c <= idx) & (
+            F.lit(idx) < below_c + F.size(f"cand{i}")
+        )
+        fin_exprs.append(
+            F.when(
+                hit,
+                # element_at is 1-based
+                F.element_at(
+                    F.col(f"cand{i}"),
+                    (F.lit(idx) - below_c + 1).cast("int"),
+                ),
+            ).alias(f"val{i}")
+        )
+    return vals.agg(*agg_exprs).select(*fin_exprs)
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
@@ -64,47 +118,11 @@ def exact_quantiles(
         if not pending:
             break
         # ONE scan resolves every pending quantile: per-q below-count
-        # and in-bracket candidate list in a single aggregate. The
-        # order-statistic selection happens JVM-side on the agg row
-        # (array_sort + element_at) so the candidate lists never
-        # leave the executors — the driver collects one nullable
-        # scalar per quantile (null = bracket miss).
-        agg_exprs = []
-        fin_exprs = []
-        for i, (q, s) in enumerate(pending.items()):
-            # open the bracket at the boundaries: the sketch's
-            # extreme quantiles are not guaranteed to be the exact
-            # min/max (compaction may drop extremes)
-            ql, qh = q - s * eps, q + s * eps
-            lo = float("-inf") if ql <= 0.0 else sk.quantile(ql)
-            hi = float("inf") if qh >= 1.0 else sk.quantile(qh)
-            agg_exprs.append(
-                F.sum((F.col("v") < lo).cast("long")).alias(f"below{i}")
-            )
-            agg_exprs.append(
-                F.array_sort(
-                    F.collect_list(
-                        F.when((F.col("v") >= lo) & (F.col("v") <= hi),
-                               F.col("v"))
-                    )
-                ).alias(f"cand{i}")
-            )
-            idx = max(0, int(np.ceil(q * n)) - 1)
-            below_c = F.coalesce(F.col(f"below{i}"), F.lit(0))
-            hit = (below_c <= idx) & (
-                F.lit(idx) < below_c + F.size(f"cand{i}")
-            )
-            fin_exprs.append(
-                F.when(
-                    hit,
-                    # element_at is 1-based
-                    F.element_at(
-                        F.col(f"cand{i}"),
-                        (F.lit(idx) - below_c + 1).cast("int"),
-                    ),
-                ).alias(f"val{i}")
-            )
-        row = vals.agg(*agg_exprs).select(*fin_exprs).collect()[0]
+        # and in-bracket candidate list in a single aggregate, with
+        # the order-statistic selection JVM-side (_candidate_pass_df)
+        # — the driver collects one nullable scalar per quantile
+        # (null = bracket miss).
+        row = _candidate_pass_df(vals, pending, sk, n, eps).collect()[0]
         still = {}
         for i, (q, s) in enumerate(pending.items()):
             v = row[f"val{i}"]

@@ -165,6 +165,7 @@ def main():
         cap_explain(gq),
     ))
 
+
     del_res, newf = filt.delete(keys.limit(1000))
     sections.append((
         "Sharded delete results (round 2): FlatMapCoGroupsInPandas "
@@ -175,6 +176,95 @@ def main():
         cap_explain(del_res),
     ))
     newf.release()
+
+    from cuckoo_filter_spark.operators import multimodal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vids = multimodal.synthesize_video(docs, "doc_id", n_frames=8)
+    frames = multimodal.sample_frames(vids, "doc_id", every_n=3)
+    small = multimodal.resize_images(
+        frames, "doc_id", 8, 8, passthrough=("frame_idx",)
+    )
+    feats = multimodal.extract_features(
+        small, "doc_id", passthrough=("frame_idx",)
+    )
+    sections.append((
+        "Multimodal video chain (round 4): ZERO Exchange end-to-end "
+        "— a 1-column parquet scan (`ReadSchema: "
+        "struct<doc_id:bigint>`) feeds four chained MapInPandas "
+        "stages (video synth → frame sampling → resize → "
+        "decode/features) with codegen Projects between them. Every "
+        "stage is a map; at 100 TB the chain parallelizes per input "
+        "split with no shuffle, and each stage's Arrow batches are "
+        "re-chunked so peak task memory is one batch of decoded "
+        "frames, not a partition of them.",
+        cap_explain(feats),
+    ))
+
+    import tempfile
+
+    from cuckoo_filter_spark.sources.repo_table import (
+        read_repo_table,
+        write_partitioned_repo_table,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        ppath = os.path.join(td, "repo_files")
+        write_partitioned_repo_table(
+            synthetic_repo_files(spark, 5000, num_partitions=4), ppath
+        )
+        rt = (
+            read_repo_table(spark, ppath)
+            .filter(F.col("lang") == "go")
+            .select("repo", "path", "key")
+        )
+        rt.count()  # force the listing so the executed plan is real
+        pruned = cap_explain(rt)
+    sections.append((
+        "Partitioned repo-table scan (round 4): a filter on the "
+        "Iceberg-style identity partition column becomes a "
+        "plan-time `PartitionFilters` entry with EMPTY "
+        "`DataFilters` — the listing prunes to the one `lang=` "
+        "directory before any bytes are read. At 100 TB, a "
+        "per-language pass touches ~1/16th of the files; nothing "
+        "about it is a post-scan filter. Evidence test: "
+        "tests/test_partition_pruning.py (asserts PartitionFilters "
+        "carries the predicate, DataFilters is empty, and the "
+        "pruned count equals the unpartitioned filter's).",
+        pruned,
+    ))
+
+
+    from cuckoo_filter_spark.core.kll import KLLSketch
+    from cuckoo_filter_spark.operators.quantiles import (
+        _EPS_C,
+        _candidate_pass_df,
+    )
+    from cuckoo_filter_spark.operators.sketch_agg import aggregate_sketch
+
+    qvals = li2.select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    ).dropna()
+    qsk = aggregate_sketch(
+        li2, "l_extendedprice", lambda: KLLSketch(256),
+        unsigned_keys=False,
+    )
+    fq = _candidate_pass_df(
+        qvals, {0.25: 4.0, 0.5: 4.0, 0.75: 4.0}, qsk, qsk.n,
+        _EPS_C / 256,
+    )
+    sections.append((
+        "Flat exact quantiles (round 5, de-drivered): the candidate "
+        "pass is one partial/final aggregate — below-bracket counts "
+        "and array_sort'd in-bracket candidate lists built "
+        "executor-side, the order statistic picked by element_at in "
+        "the final Project — so the single collected row holds one "
+        "nullable scalar per quantile; candidate lists never cross "
+        "the JVM->driver boundary. Look for: partial_ aggregate "
+        "expressions before the single-partition Exchange and the "
+        "element_at Project after the final HashAggregate.",
+        cap_explain(fq),
+    ))
 
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan evidence (`explain formatted`)\n\n")
