@@ -360,6 +360,20 @@ def main():
             len(open(HIST_PATH).readlines())
             if os.path.exists(HIST_PATH) else 0
         )
+        if os.path.exists(KERNEL_HIST):
+            # the spark-history line count alone can repeat when a
+            # previous invocation appended kernel rows but died
+            # before its spark runs — and a stamp collision makes
+            # kernel_history_tables() overwrite one invocation's
+            # rows with another's, corrupting the same-invocation
+            # efficiency pairs. Force uniqueness.
+            stamp = max(
+                stamp,
+                max(
+                    json.loads(ln)["batch"]
+                    for ln in open(KERNEL_HIST) if ln.strip()
+                ) + 1,
+            )
         with open(KERNEL_HIST, "a") as f:
             for r in kernel["runs"]:
                 f.write(json.dumps({"batch": stamp, **r}) + "\n")
