@@ -19,6 +19,9 @@ Three layers of evidence, written to BENCH/BASELINE.md:
    owns its memory bus, which is the regime layer 1 models.
 
 Usage: python scripts/scaling_bench.py [n_keys_base]
+    --merge-only   regenerate BASELINE.md from recorded history
+    --pair-only    run only the c8/c32 strong legs back-to-back
+                   (extra 8→32 same-invocation pairs per unit time)
 """
 
 import json
@@ -342,11 +345,25 @@ def merged_history() -> dict:
 
 def main():
     merge_only = "--merge-only" in sys.argv
+    # --pair-only: run ONLY the c8/c32 legs back-to-back (skipping
+    # the kernel layer and the 2-core legs) — the 8→32 same-batch
+    # efficiency is the scarcest pair in history because a full
+    # batch yields one per ~11 min, and back-to-back sampling puts
+    # both sides in the closest possible machine phase. Partial
+    # batches merge safely: merged_history() is per-config best and
+    # batch_effs() intersects batches where both configs exist.
+    pair_only = "--pair-only" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     base = int(args[0]) if args else int((1 << 20) * 0.95)
     t0 = time.time()
 
-    if not merge_only:
+    if pair_only and not merge_only:
+        fresh = {}
+        fresh["c8"] = run(8, base * 16)
+        fresh["c32"] = run(32, base * 16)
+        append_history(fresh)
+
+    if not merge_only and not pair_only:
         # kernel scaling (layer 1)
         kout = subprocess.run(
             [sys.executable,
