@@ -22,6 +22,9 @@ Usage: python scripts/scaling_bench.py [n_keys_base]
     --merge-only   regenerate BASELINE.md from recorded history
     --pair-only    run only the c8/c32 strong legs back-to-back
                    (extra 8→32 same-invocation pairs per unit time)
+    --weak-pair-only  run c2_weak/c8/c8_big_weak/c32 back-to-back
+                   (a 2→8 weak + 8→32 weak + 8→32 strong pair per
+                   invocation, no kernel layer)
 """
 
 import json
@@ -368,6 +371,12 @@ def main():
     # batches merge safely: merged_history() is per-config best and
     # batch_effs() intersects batches where both configs exist.
     pair_only = "--pair-only" in sys.argv
+    # --weak-pair-only: sample the weak pairs (c2_weak/c8 and
+    # c8_big_weak/c32) back-to-back — one invocation yields a 2→8
+    # weak pair, an 8→32 weak pair, and an 8→32 strong pair (c8 and
+    # c32 both run at 16x base) in ~1/3 of a full batch's wall time,
+    # skipping the kernel layer and the 16M-key c2 leg.
+    weak_pair_only = "--weak-pair-only" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     base = int(args[0]) if args else int((1 << 20) * 0.95)
     t0 = time.time()
@@ -378,7 +387,15 @@ def main():
         fresh["c32"] = run(32, base * 16)
         append_history(fresh)
 
-    if not merge_only and not pair_only:
+    if weak_pair_only and not merge_only and not pair_only:
+        fresh = {}
+        fresh["c2_weak"] = run(2, base * 4)
+        fresh["c8"] = run(8, base * 16)
+        fresh["c8_big_weak"] = run(8, base * 4)
+        fresh["c32"] = run(32, base * 16)
+        append_history(fresh)
+
+    if not merge_only and not pair_only and not weak_pair_only:
         # kernel scaling (layer 1)
         kout = subprocess.run(
             [sys.executable,
