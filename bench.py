@@ -150,7 +150,10 @@ def run_bench(spark: SparkSession, sf_dir: str, n_keys: int) -> dict:
 
     spark.range(0, cpus * 4, 1, cpus * 4).mapInPandas(_warm, "x long").count()
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # default 4: the three cuckoo build/delete ops dominate the noise
+    # budget (host-phase drift up to ~2x) and one extra rep of each
+    # costs ~7 s against a visibly better best-of sample
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "4"))
 
     # best-of-reps, as in the reference's google-benchmark repetitions
     # (benchmark_common.cuh:377-384) — the sandbox has noisy-neighbor
